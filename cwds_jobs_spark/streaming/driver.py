@@ -1,0 +1,94 @@
+"""Structured Streaming CDC driver: readStream → foreachBatch(MERGE).
+
+The production tail (SURVEY.md §1.4 chose design (a)): the changes
+directory is consumed as a file stream; Spark's checkpoint tracks
+consumed files/offsets — the durable savepoint (reference
+SavePointContainerServiceImpl.java analog, but transactional and
+per-source).  Each micro-batch runs the same ``merge_apply`` as the
+batch runner:
+
+- ``foreachBatch`` is at-least-once → the snapshot ledger keyed by
+  ``(job_id, epoch_id)`` makes the table commit exactly-once (T3);
+- lineage rows are keyed ``job=<id>/batch=<epoch>`` and overwritten on
+  replay — never double-counted;
+- kill-and-restart from the same checkpoint replays only the
+  in-flight batch; final table state is unchanged (tested in
+  tests/test_streaming.py, the reference crash-resume testcase12
+  analog, JobMainTest.java:167-189).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from cwds_jobs_spark.operators.merge import merge_apply
+from cwds_jobs_spark.schema import TRANSCRIPTS_SCHEMA
+from cwds_jobs_spark.sources.changes import stream_changes
+from cwds_jobs_spark.table.snapshot import SnapshotTable
+
+
+def start_cdc_stream(
+    spark: SparkSession,
+    *,
+    job_id: str,
+    changes_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    lineage_dir: str | None = None,
+    num_buckets: int = 32,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+    on_batch=None,
+) -> StreamingQuery:
+    """Start (or resume, if the checkpoint exists) the CDC apply stream.
+
+    ``available_now=True`` drains the current tail then stops — the
+    batch-job flavor with streaming bookkeeping (used by tests and the
+    bench).  ``on_batch`` is a hook for fault-injection tests
+    (reference BrokenTestEntityService.java:10-25 analog).
+    """
+    if SnapshotTable.exists(table_path):
+        table = SnapshotTable.load(spark, table_path)
+    else:
+        table = SnapshotTable.create(
+            spark, table_path, TRANSCRIPTS_SCHEMA, num_buckets=num_buckets
+        )
+
+    src = stream_changes(
+        spark, changes_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_df, epoch_id)
+        merge_apply(
+            table,
+            batch_df,
+            job_id=job_id,
+            batch_id=epoch_id,
+            lineage_dir=lineage_dir,
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"cdc-{job_id}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_tail_once(spark: SparkSession, timeout_sec: float = 300.0, **kw) -> None:
+    """Drain the pending tail (availableNow) and wait for completion."""
+    q = start_cdc_stream(spark, available_now=True, **kw)
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))

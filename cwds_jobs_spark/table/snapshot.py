@@ -1,0 +1,275 @@
+"""Bucketed snapshot table: the engine's lakehouse substrate.
+
+Semantics are Iceberg's, scoped to what the CDC engine needs — this
+sandbox ships no Iceberg runtime jar, so the MERGE target is this thin
+metadata layer over parquet instead (the ``operators.merge`` module
+also carries a real ``MERGE INTO`` SQL path that activates when an
+Iceberg catalog is configured on a cluster):
+
+- **Atomic snapshot commit** — data files are written to a fresh
+  immutable directory, then a single JSON snapshot + pointer swap
+  (``os.replace``, atomic on POSIX) publishes them.  Readers see
+  either the old or the new version, never a mix.  This is the analog
+  of the reference's atomic alias swap (jobs-common/.../elastic/
+  ElasticsearchService.java:123-147).
+- **Hash-bucket layout** — rows live in ``num_buckets`` buckets by
+  ``xxhash64(conv_id)``.  A change batch only rewrites the buckets its
+  keys hash into (bucket pruning), so MERGE cost scales with the batch
+  footprint, not table size.  At 100 TB you'd run thousands of
+  buckets; tests run 8-32.  Equivalent to Iceberg
+  ``bucket(N, conv_id)`` partitioning.
+- **Schema evolution** — each snapshot records a schema catalog and a
+  per-bucket schema id.  Old buckets are *not* rewritten when a column
+  is added or a type widens; the read path aligns every file group to
+  the current schema (null-fill + cast), like Iceberg schema-id
+  resolution.
+- **Committed-batch ledger** — the snapshot carries
+  ``{job_id: last_committed_batch_id}``.  Replayed ``foreachBatch``
+  deliveries (at-least-once) are detected and skipped, making table
+  state exactly-once (SURVEY.md §2.9 T3).
+
+Savepoint/job-mode state intentionally lives *outside* this class
+(``cwds_jobs_spark.state``), mirroring the reference's separation of
+the savepoint file from the index
+(jobs-common/.../savepoint/SavePointContainerServiceImpl.java:29-86).
+
+File listing uses the local filesystem (sandbox); on a real cluster
+swap ``_list_parquet`` for the Hadoop FileSystem API — the metadata
+format itself is location-agnostic.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "_bucket"
+FORMAT_VERSION = 1
+
+
+def bucket_expr(num_buckets: int, col: str = "conv_id"):
+    """Stable bucket id for a key column (seed-stable xxhash64)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
+
+
+def _schema_fingerprint(schema: T.StructType) -> str:
+    return json.dumps(schema.jsonValue(), sort_keys=True)
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str, snap: dict):
+        self.spark = spark
+        self.path = path
+        self._snap = snap
+
+    # ---------------- lifecycle ----------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        num_buckets: int = 32,
+        key_cols: list[str] | None = None,
+    ) -> "SnapshotTable":
+        os.makedirs(os.path.join(path, "_meta"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        snap = {
+            "format_version": FORMAT_VERSION,
+            "version": 0,
+            "num_buckets": num_buckets,
+            "key_cols": key_cols or ["conv_id", "turn_idx"],
+            "schemas": {"0": schema.jsonValue()},
+            "current_schema_id": 0,
+            "buckets": {},
+            "ledger": {},
+            "props": {},
+        }
+        tbl = cls(spark, path, snap)
+        tbl._write_snapshot(snap)
+        return tbl
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SnapshotTable":
+        with open(os.path.join(path, "_meta", "_VERSION")) as f:
+            snap_name = f.read().strip()
+        with open(os.path.join(path, "_meta", snap_name)) as f:
+            return cls(spark, path, json.load(f))
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_meta", "_VERSION"))
+
+    # ---------------- properties ----------------
+
+    @property
+    def version(self) -> int:
+        return self._snap["version"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self._snap["num_buckets"]
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self._snap["key_cols"]
+
+    @property
+    def schema(self) -> T.StructType:
+        sid = str(self._snap["current_schema_id"])
+        return T.StructType.fromJson(self._snap["schemas"][sid])
+
+    def committed_batch(self, job_id: str) -> int:
+        return int(self._snap["ledger"].get(job_id, -1))
+
+    def bucket_of(self, col: str | None = None):
+        return bucket_expr(self.num_buckets, col or self.key_cols[0])
+
+    # ---------------- read ----------------
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current snapshot, aligned to the current schema.
+
+        ``buckets`` restricts the scan to the given bucket ids
+        (bucket pruning — the MERGE path reads only affected buckets).
+        """
+        cur = self.schema
+        wanted = (
+            self._snap["buckets"].items()
+            if buckets is None
+            else [(str(b), self._snap["buckets"][str(b)])
+                  for b in buckets if str(b) in self._snap["buckets"]]
+        )
+        # group file lists by schema id (Iceberg-style schema resolution)
+        by_sid: dict[str, list[str]] = {}
+        for _b, entry in wanted:
+            by_sid.setdefault(str(entry["schema_id"]), []).extend(entry["files"])
+        parts: list[DataFrame] = []
+        for sid, files in by_sid.items():
+            if not files:
+                continue
+            file_schema = T.StructType.fromJson(self._snap["schemas"][sid])
+            df = (
+                self.spark.read.option("recursiveFileLookup", "true")
+                .schema(file_schema)
+                .parquet(*[os.path.join(self.path, f) for f in files])
+            )
+            parts.append(_align(df, cur))
+        if not parts:
+            return self.spark.createDataFrame([], cur)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------------- write / commit ----------------
+
+    def overwrite_buckets(
+        self,
+        df: DataFrame,
+        affected: list[int],
+        *,
+        new_schema: T.StructType | None = None,
+        ledger_update: dict[str, int] | None = None,
+    ) -> None:
+        """Atomically replace ``affected`` buckets with ``df``'s rows.
+
+        ``df`` must already be in the (possibly evolved) table schema;
+        rows are hashed into buckets here.  Buckets not listed keep
+        their existing files untouched (this is what makes MERGE cost
+        proportional to the batch, not the table).
+        """
+        snap = {k: (dict(v) if isinstance(v, dict) else v) for k, v in self._snap.items()}
+        snap["version"] = self.version + 1
+        schema = new_schema or self.schema
+        sid = self._intern_schema(snap, schema)
+
+        commit_dir = f"data/commit-{snap['version']:09d}-{uuid.uuid4().hex[:8]}"
+        abs_dir = os.path.join(self.path, commit_dir)
+        (
+            df.withColumn(BUCKET_COL, self.bucket_of())
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(abs_dir)
+        )
+        per_bucket = _list_parquet(abs_dir, self.path)
+        for b in affected:
+            files = per_bucket.get(b, [])
+            if files:
+                snap["buckets"][str(b)] = {"schema_id": int(sid), "files": files}
+            else:
+                snap["buckets"].pop(str(b), None)
+        # rows may hash to buckets the caller did not claim (shouldn't
+        # happen in merge, but initial load claims all buckets)
+        for b, files in per_bucket.items():
+            if b not in affected:
+                snap["buckets"][str(b)] = {"schema_id": int(sid), "files": files}
+        for k, v in (ledger_update or {}).items():
+            snap["ledger"][k] = int(v)
+        self._write_snapshot(snap)
+        self._snap = snap
+
+    def record_ledger(self, job_id: str, batch_id: int) -> None:
+        """Ledger-only commit (e.g. an empty replayed batch)."""
+        snap = dict(self._snap)
+        snap["version"] = self.version + 1
+        snap["ledger"] = dict(snap["ledger"])
+        snap["ledger"][job_id] = int(batch_id)
+        self._write_snapshot(snap)
+        self._snap = snap
+
+    def _intern_schema(self, snap: dict, schema: T.StructType) -> str:
+        fp = _schema_fingerprint(schema)
+        for sid, sj in snap["schemas"].items():
+            if _schema_fingerprint(T.StructType.fromJson(sj)) == fp:
+                snap["current_schema_id"] = int(sid)
+                return sid
+        sid = str(max(int(s) for s in snap["schemas"]) + 1)
+        snap["schemas"] = dict(snap["schemas"])
+        snap["schemas"][sid] = schema.jsonValue()
+        snap["current_schema_id"] = int(sid)
+        return sid
+
+    def _write_snapshot(self, snap: dict) -> None:
+        meta = os.path.join(self.path, "_meta")
+        name = f"snap-{snap['version']:09d}.json"
+        tmp = os.path.join(meta, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(meta, name))
+        ptmp = os.path.join(meta, f"._VERSION.{uuid.uuid4().hex[:8]}.tmp")
+        with open(ptmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptmp, os.path.join(meta, "_VERSION"))
+
+
+def _align(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Null-fill missing columns and cast to the target schema."""
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _list_parquet(commit_dir: str, table_root: str) -> dict[int, list[str]]:
+    """Map bucket id -> table-relative parquet paths under a commit dir."""
+    out: dict[int, list[str]] = {}
+    for p in glob.glob(os.path.join(commit_dir, f"{BUCKET_COL}=*", "*.parquet")):
+        b = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+        out.setdefault(b, []).append(os.path.relpath(p, table_root))
+    return out

@@ -20,25 +20,44 @@ Physical plan (SnapshotTable path, no Iceberg jar in the sandbox):
    batch touches; read ONLY those buckets of the target.  Merge cost
    is proportional to the batch footprint, not table size — the
    property that keeps a 10^10-row table mergeable.
-3. Anti-join target-side survivors against the (broadcast) batch keys,
-   union the non-delete winners, atomically swap the affected buckets.
+3. **Version-aware apply**: every stored row carries its version
+   vector ``(_op_ts, _lsn)`` and a ``_deleted`` tombstone flag; the
+   merge is ``union(target, winners) → max(struct(version, row))``
+   per key.  This makes apply **commutative and idempotent across
+   batches** — a stale event delivered late (distributed file tails
+   do not guarantee LSN-ordered delivery across micro-batches) can
+   never overwrite a newer row, and a tombstone blocks resurrection
+   by an older insert.  The reference gets the same end state only by
+   assuming strictly ordered delivery (QueryConstants.java:72-73,80 +
+   sequential ElasticWriter); that assumption does not survive a
+   parallel tail, so the order-dependence is engineered out here.
+4. Atomically swap the affected buckets.
 
 Exactly-once: the committed-batch ledger inside the snapshot makes a
 replayed ``foreachBatch`` delivery a no-op (SURVEY.md §7.3).
+
+Tombstones are compacted away by ``compact_tombstones`` once the tail
+watermark has passed them (no event with a smaller version can still
+arrive).
 """
 
 from __future__ import annotations
+
+import datetime as dt
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cwds_jobs_spark.lineage import write_lineage
 from cwds_jobs_spark.operators.dedup import lww_dedup
-from cwds_jobs_spark.schema import OP_DELETE, payload_schema
+from cwds_jobs_spark.schema import OP_DELETE
 from cwds_jobs_spark.table.evolve import merge_schemas
 from cwds_jobs_spark.table.snapshot import SnapshotTable, _align
 
-BROADCAST_KEYS_MAX = 4_000_000  # batch keys under this → broadcast anti-join
+VERSION_TS = "_op_ts"
+VERSION_LSN = "_lsn"
+TOMBSTONE = "_deleted"
+_MIN_TS = dt.datetime(1970, 1, 1)
 
 
 def merge_apply(
@@ -80,24 +99,45 @@ def merge_apply(
             r[0] for r in deduped.select(bucket.alias("b")).distinct().collect()
         )
 
+        # winners in table shape + version vector + tombstone flag
+        payload_cols = [
+            c for c in deduped.columns
+            if c not in table.key_cols and c not in ("op", "op_ts", "lsn")
+        ]
+        winners = deduped.select(
+            *table.key_cols,
+            *payload_cols,
+            F.col("op_ts").alias(VERSION_TS),
+            F.col("lsn").alias(VERSION_LSN),
+            (F.col("op") == OP_DELETE).alias(TOMBSTONE),
+        )
+
         cur_schema = table.schema
-        incoming_payload = payload_schema(deduped.schema)
-        merged = merge_schemas(cur_schema, incoming_payload)
+        merged = merge_schemas(cur_schema, winners.schema)
         evolved = merged is not cur_schema
 
-        target = table.read(affected)
-        if evolved:
-            target = _align(target, merged)
+        target = table.read(affected, include_internal=True)
+        combined = _align(target, merged).unionByName(_align(winners, merged))
 
-        keys = deduped.select(*table.key_cols)
-        if n_keys <= BROADCAST_KEYS_MAX:
-            keys = F.broadcast(keys)
-        survivors = target.join(keys, on=table.key_cols, how="left_anti")
-        upserts = _align(
-            deduped.filter(F.col("op") != OP_DELETE).drop("op", "op_ts", "lsn"),
-            merged,
+        # per-key LWW across (target ∪ batch): one hash aggregate with
+        # map-side partial combine — commutative, skew-immune.
+        # Legacy rows without a version vector rank lowest.
+        non_key = [f.name for f in merged.fields if f.name not in table.key_cols]
+        packed = F.max(
+            F.struct(
+                F.coalesce(F.col(VERSION_TS), F.lit(_MIN_TS)).alias("__vt"),
+                F.coalesce(F.col(VERSION_LSN), F.lit(-1)).alias("__vl"),
+                *[F.col(c) for c in non_key],
+            )
         )
-        result = survivors.unionByName(upserts)
+        result = (
+            combined.groupBy(*table.key_cols)
+            .agg(packed.alias("_w"))
+            .select(
+                *table.key_cols,
+                *[F.col(f"_w.{c}").alias(c) for c in non_key],
+            )
+        )
 
         table.overwrite_buckets(
             result,
@@ -114,6 +154,32 @@ def merge_apply(
         }
     finally:
         deduped.unpersist()
+
+
+def compact_tombstones(table: SnapshotTable, watermark_ts) -> int:
+    """Drop tombstones with version ts < the tail watermark.
+
+    Once the source watermark has passed a tombstone's version, no
+    event with a smaller version can still arrive, so the tombstone is
+    dead weight.  Rewrites only buckets that actually hold purgeable
+    tombstones.  Returns the number of buckets compacted.
+    """
+    if TOMBSTONE not in [f.name for f in table.schema.fields]:
+        return 0
+    full = table.read(include_internal=True)
+    dead = F.col(TOMBSTONE) & (F.col(VERSION_TS) < F.lit(watermark_ts))
+    hit = (
+        full.filter(dead)
+        .select(table.bucket_of().alias("b"))
+        .distinct()
+        .collect()
+    )
+    buckets = sorted(r["b"] for r in hit)
+    if not buckets:
+        return 0
+    kept = table.read(buckets, include_internal=True).filter(~dead)
+    table.overwrite_buckets(kept, buckets)
+    return len(buckets)
 
 
 # ---------------------------------------------------------------------------

@@ -85,10 +85,15 @@ def start_cdc_stream(
 def run_tail_once(spark: SparkSession, timeout_sec: float = 300.0, **kw) -> None:
     """Drain the pending tail (availableNow) and wait for completion."""
     q = start_cdc_stream(spark, available_now=True, **kw)
+    err = None
     try:
         q.awaitTermination(timeout_sec)
+    except Exception as e:  # StreamingQueryException → uniform RuntimeError
+        err = e
     finally:
         if q.isActive:
             q.stop()
-        if q.exception() is not None:
-            raise RuntimeError(str(q.exception()))
+    if err is None and q.exception() is not None:
+        err = q.exception()
+    if err is not None:
+        raise RuntimeError(str(err))

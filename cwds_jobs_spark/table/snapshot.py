@@ -134,11 +134,19 @@ class SnapshotTable:
 
     # ---------------- read ----------------
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self, buckets: list[int] | None = None, include_internal: bool = False
+    ) -> DataFrame:
         """Current snapshot, aligned to the current schema.
 
         ``buckets`` restricts the scan to the given bucket ids
         (bucket pruning — the MERGE path reads only affected buckets).
+
+        Columns starting with ``_`` are engine-internal (row version
+        vector ``_op_ts``/``_lsn`` and the ``_deleted`` tombstone flag
+        written by the MERGE path).  The public read hides them and
+        filters tombstones; the MERGE path reads them back with
+        ``include_internal=True``.
         """
         cur = self.schema
         wanted = (
@@ -163,10 +171,17 @@ class SnapshotTable:
             )
             parts.append(_align(df, cur))
         if not parts:
-            return self.spark.createDataFrame([], cur)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+            out = self.spark.createDataFrame([], cur)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if not include_internal:
+            if "_deleted" in out.columns:
+                out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            internal = [c for c in out.columns if c.startswith("_")]
+            if internal:
+                out = out.drop(*internal)
         return out
 
     # ---------------- write / commit ----------------

@@ -1,0 +1,180 @@
+"""Job-mode state machine scenarios — the reference JobMainTest matrix
+(jobs-common/src/test/java/.../JobMainTest.java:66-189, FIXTURES.md §2)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cwds_jobs_spark import state as st
+from cwds_jobs_spark.oracle import assert_matches, replay
+from cwds_jobs_spark.runner import CdcJobRunner, JobConfig
+from cwds_jobs_spark.schema import CHANGES_SCHEMA
+from cwds_jobs_spark.sources.changes import write_changes_window
+from cwds_jobs_spark.synth import synth_changes
+
+TS = dt.datetime(2021, 3, 1)
+
+
+def _runner(spark, ws, **kw):
+    cfg = JobConfig(
+        job_id="job1",
+        changes_dir=ws["changes"],
+        table_path=ws["table"],
+        state_dir=ws["state"],
+        lineage_dir=ws["lineage"],
+        num_buckets=8,
+        **kw,
+    )
+    return CdcJobRunner(spark, cfg)
+
+
+def _ev(conv, turn, op, sec, lsn, text=None):
+    t = TS + dt.timedelta(seconds=sec)
+    if op == "D":
+        return (conv, turn, op, t, lsn, None, None, None, None)
+    return (conv, turn, op, t, lsn, "user", text or f"{conv}/{turn}@{lsn}", None, t)
+
+
+def test_empty_initial_load_keeps_epoch_savepoint(spark, ws):
+    """JobMainTest.java:66-83: empty source → 0 rows, savepoint at origin."""
+    r = _runner(spark, ws)
+    spark.createDataFrame([], CHANGES_SCHEMA).write.parquet(ws["changes"] + "/w0")
+    out = r.run()
+    assert out["mode"] == st.INITIAL_LOAD and (out.get("events") or 0) == 0
+    c = r.sp_svc.read()
+    # no data → finalizer found no max; savepoint stays at epoch default
+    assert c.savepoint.ts == st.EPOCH_TS and c.savepoint.lsn == -1
+    assert c.job_mode == st.INCREMENTAL_LOAD
+    assert r.table().read().count() == 0
+
+
+def test_initial_load_then_mode_flip(spark, ws):
+    ev = synth_changes(spark, 600, n_convs=20)
+    write_changes_window(ev, ws["changes"], "w0")
+    r = _runner(spark, ws)
+    assert st.resolve_job_mode(r.sp_svc) == st.INITIAL_LOAD
+    r.run()
+    c = r.sp_svc.read()
+    assert c.job_mode == st.INCREMENTAL_LOAD
+    # finalizer savepoint = source max(op_ts, lsn), not wall clock
+    hi = ev.agg(F.max(F.struct("op_ts", "lsn"))).collect()[0][0]
+    assert (c.savepoint.ts, c.savepoint.lsn) == (hi["op_ts"], hi["lsn"])
+    # initial excludes deletes; final state = replay of I/U only
+    expected = replay([e for e in ev.collect() if e.op != "D"])
+    assert_matches(r.table().read(), expected)
+
+
+def test_incremental_no_new_data_is_noop(spark, ws):
+    """JobMainTest.java:141-150: nothing to do, savepoint unchanged."""
+    write_changes_window(synth_changes(spark, 300, n_convs=10), ws["changes"], "w0")
+    r = _runner(spark, ws)
+    r.run()
+    sp_before = r.sp_svc.read().savepoint
+    out = r.run()  # now incremental, tail empty
+    assert out == {"events": 0, "windows": 0, "mode": st.INCREMENTAL_LOAD}
+    assert r.sp_svc.read().savepoint.as_tuple() == sp_before.as_tuple()
+
+
+def test_incremental_applies_only_new_events(spark, ws):
+    """JobMainTest.java:152-165 + the I/U/D golden incremental case."""
+    w0 = synth_changes(spark, 500, n_convs=15)
+    write_changes_window(w0, ws["changes"], "w0")
+    r = _runner(spark, ws)
+    r.run()
+    w1 = synth_changes(spark, 200, n_convs=15, start_lsn=500)
+    write_changes_window(w1, ws["changes"], "w1")
+    out = r.run()
+    assert out["mode"] == st.INCREMENTAL_LOAD and out["events"] == 200
+    # deletes from w0 that were skipped by initial stay skipped (their
+    # keys never existed); deletes in w1 now apply
+    expected = replay(
+        [e for e in w0.collect() if e.op != "D"] + list(w1.collect())
+    )
+    assert_matches(r.table().read(), expected)
+
+
+def test_initial_resume_continues_from_savepoint(spark, ws):
+    """CwsFacilityJobTest.java:87-100: interrupted bulk load resumes and
+    applies only the remaining rows."""
+    full = synth_changes(spark, 400, n_convs=12, p_insert=1.0, p_update=0.0)
+    write_changes_window(full, ws["changes"], "w0")
+    r = _runner(spark, ws)
+    # simulate a crash mid-initial: savepoint frozen at lsn 199, mode INITIAL
+    rows = sorted(full.collect(), key=lambda x: (x.op_ts, x.lsn))
+    mid = rows[199]
+    r.table()  # create target
+    from cwds_jobs_spark.operators.merge import merge_apply
+
+    first_half = spark.createDataFrame(rows[:200], CHANGES_SCHEMA)
+    merge_apply(r.table(), first_half, job_id="job1", batch_id=0, drop_deletes=True)
+    r.sp_svc.write(
+        st.SavePointContainer(
+            job_mode=st.INITIAL_LOAD,
+            savepoint=st.SavePoint(ts=mid.op_ts, lsn=mid.lsn),
+            batch_id=0,
+        )
+    )
+    assert st.resolve_job_mode(r.sp_svc) == st.INITIAL_RESUME
+    out = r.run()
+    assert out["mode"] == st.INITIAL_RESUME
+    assert_matches(r.table().read(), replay(rows))
+    assert r.sp_svc.read().job_mode == st.INCREMENTAL_LOAD
+
+
+def test_crash_and_resume_incremental(spark, ws):
+    """testcase12 analog (JobMainTest.java:167-189): a poisoned window
+    aborts the run; savepoint stays at last good batch; rerun heals."""
+    write_changes_window(synth_changes(spark, 300, n_convs=10), ws["changes"], "w0")
+    r = _runner(spark, ws)
+    r.run()
+    sp_good = r.sp_svc.read().savepoint.as_tuple()
+
+    w1 = synth_changes(spark, 100, n_convs=10, start_lsn=300)
+    write_changes_window(w1, ws["changes"], "w1")
+
+    # poison the merge path once (BrokenTestEntityService analog)
+    import cwds_jobs_spark.runner as runner_mod
+
+    real = runner_mod.merge_apply
+    calls = {"n": 0}
+
+    def poisoned(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("broken entity")
+
+    runner_mod.merge_apply = poisoned
+    try:
+        with pytest.raises(RuntimeError):
+            r.run()
+    finally:
+        runner_mod.merge_apply = real
+    # savepoint frozen at last committed batch
+    assert r.sp_svc.read().savepoint.as_tuple() == sp_good
+    assert r.sp_svc.read().job_mode == st.INCREMENTAL_LOAD
+    # rerun completes to final state
+    out = r.run()
+    assert out["events"] == 100
+    expected = replay(
+        [e for e in synth_changes(spark, 300, n_convs=10).collect() if e.op != "D"]
+        + list(w1.collect())
+    )
+    assert_matches(r.table().read(), expected)
+
+
+def test_capped_windows_equal_timestamp_safe(spark, ws):
+    """Equal-ts events split across capped windows still converge: the
+    set-oriented MERGE does not need the reference's never-split-a-
+    timestamp boundary alignment (O2/O3) for correctness."""
+    ev = synth_changes(spark, 300, n_convs=8, ts_group=10)  # heavy ts sharing
+    write_changes_window(ev.filter("lsn < 50"), ws["changes"], "w0")
+    r = _runner(spark, ws, max_events_per_window=7)  # pathological cap
+    r.run()  # initial on first 50
+    write_changes_window(ev.filter("lsn >= 50"), ws["changes"], "w1")
+    out = r.run()
+    assert out["events"] == 250 and out["windows"] >= 36
+    expected = replay(
+        [e for e in ev.collect() if e.lsn < 50 and e.op != "D"]
+        + [e for e in ev.collect() if e.lsn >= 50]
+    )
+    assert_matches(r.table().read(), expected)

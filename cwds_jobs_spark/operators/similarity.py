@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_to`` / ``brute_force_topk``: exact top-k vs one query
+  vector — a single projection + TakeOrdered, no shuffle of the
+  corpus; the correctness baseline.
+- ``topk_for_queries``: exact top-k for a *set* of queries — the
+  query block is broadcast, per-partition scoring runs as one
+  Arrow-batched numpy matmul (mapInPandas), then a per-query top-k
+  aggregate.  This is the blocked brute-force layout that saturates
+  a cluster: corpus stays partitioned, O(|corpus| × |queries|) flops
+  vectorized, shuffle only of per-partition top-k candidates.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane signatures
+  put corpus and queries into Hamming buckets; only same-bucket pairs
+  are scored (approximate; recall grows with num_tables).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_to(vec_col: str, query: list[float]):
+    """Native cosine similarity column vs a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    nq = float(np.sqrt(np.sum(np.asarray(query, dtype="float64") ** 2)))
+    return F.when(nv > 0, dot / (nv * F.lit(nq))).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame, query: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_to(vec_col, query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.vstack(series.map(np.asarray).to_numpy()).astype(np.float64)
+
+
+def topk_for_queries(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k per query via broadcast queries + numpy matmul.
+
+    Per-partition: one (batch × queries) GEMM inside mapInPandas, emit
+    each partition's top-k per query, then a global top-k window over
+    the (tiny) candidate set.
+    """
+    spark = corpus.sparkSession
+    qids = [int(q[0]) for q in queries]
+    qm = np.vstack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    bc = spark.sparkContext.broadcast((qids, qm, qn, k))
+
+    def score(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qm_, qn_, k_ = bc.value
+        for pdf in parts:
+            if pdf.empty:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            nv = np.linalg.norm(m, axis=1)
+            nv[nv == 0] = 1.0
+            sims = (m @ qm_.T) / nv[:, None] / qn_[None, :]
+            out = []
+            ids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(qids_):
+                top = np.argsort(-sims[:, j])[:k_]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: ids[top],
+                            "cosine": np.round(sims[top, j], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    return rs.normal(size=(n_bits, dim))
+
+
+def signature_col(vec_col: str, planes: np.ndarray):
+    """Random-hyperplane signature (int bucket id) — native expression:
+    sum of bit<<i where bit = (dot(vec, plane_i) > 0)."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    num_tables: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing an LSH bucket
+    with the query in at least one table."""
+    spark = corpus.sparkSession
+    dim = len(queries[0][1])
+    tables = [_hyperplanes(dim, n_bits, seed + t) for t in range(num_tables)]
+
+    sig = corpus.select(
+        id_col,
+        vec_col,
+        *[signature_col(vec_col, tables[t]).alias(f"sig{t}") for t in range(num_tables)],
+    )
+    # query signatures computed driver-side (tiny)
+    qrows = []
+    for qid, qv in queries:
+        v = np.asarray(qv, dtype=np.float64)
+        for t, planes in enumerate(tables):
+            bucket = int(((planes @ v) > 0).astype(np.int64) @ (1 << np.arange(n_bits)))
+            qrows.append((int(qid), list(map(float, qv)), t, bucket))
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, qvec array<double>, table int, bucket long"
+    )
+    exploded = sig.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table"), F.col(f"sig{t}").alias("bucket"))
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+    cand = (
+        exploded.join(F.broadcast(qdf), ["table", "bucket"])
+        .select("query_id", id_col, vec_col, "qvec")
+        .dropDuplicates(["query_id", id_col])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    nq = F.sqrt(F.aggregate(F.col("qvec"), F.lit(0.0), lambda a, x: a + x * x))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(F.when((nv > 0) & (nq > 0), dot / (nv * nq)).otherwise(0.0), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine")
+    )

@@ -1,38 +1,575 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from
+SURVEY.md §2 (reference citation in each docstring); ``oracle_sql()``
+is the DuckDB-equivalent ANSI SQL over the same parquet views.
+Column names/aliases match pairwise; floats are rounded identically on
+both sides.  Ops that aren't SQL-expressible (minhash/simhash LSH,
+ANN, multimodal) are registered without an oracle → rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: CDC last-writer-wins replay over the events log
+# (SURVEY.md §2.4 A4 + §2.1 S8 semantics on the driver's events table:
+#  key=user_id, version=(ts, event_id), op: 'error' acts as delete)
+# ---------------------------------------------------------------------------
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = F.max(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value"))
+    ).alias("w")
+    return (
+        ev.groupBy("user_id")
+        .agg(w)
+        .filter(F.col("w.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("w.event_id").alias("last_event_id"),
+            F.col("w.event_type").alias("last_event_type"),
+            F.round(F.col("w.value"), 4).alias("last_value"),
+            F.col("w.ts").alias("last_ts"),
+        )
+    )
+
+
+_SQL_CDC = """
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       round(value, 4) AS last_value,
+       ts         AS last_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+# --------------------------- scans / filters -------------------------------
+
+def q_change_scan_window(spark, sf_dir):
+    """S1/P1/P5: ranged change scan with 3-col projection
+    (CWS/QueryConstants.java:68-80)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") > F.lit("2024-01-10 00:00:00"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+_SQL_SCAN = """
+SELECT event_id, user_id, event_type, ts FROM events
+WHERE ts > TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+def q_initial_excludes_deletes(spark, sf_dir):
+    """S2/P6: initial load excludes op='D' (QueryConstants.java:42,50)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "error")
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+_SQL_NO_DELETES = """
+SELECT event_id, user_id, event_type FROM events WHERE event_type <> 'error'
+"""
+
+
+def q_filter_predicates(spark, sf_dir):
+    """P2/P3/P4: inequality + numeric + IN-list predicates
+    (QueryConstants.java:22-23; LicenseNumberIdentifier.java:24-26)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") != "F")
+            & (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            & (F.col("o_totalprice") > 1000.0)
+        )
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_SQL_FILTERS = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders
+WHERE o_orderstatus <> 'F'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice > 1000.0
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """Scalar JSON extraction from the props payload column."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+_SQL_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k FROM events
+"""
+
+
+# ------------------------------- joins -------------------------------------
+
+def q_multiway_left_join_distinct(spark, sf_dir):
+    """J1: 3-table left join + disjunctive predicate + distinct keys
+    (CAP/entity/UserId.java:35-39) — broadcast dims."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "left")
+        .join(r, n.n_regionkey == r.r_regionkey, "left")
+        .where(
+            (F.col("c_acctbal") > 9000.0)
+            | (F.col("n_name") == "NATION_3")
+            | (F.col("r_name") == "REGION_1")
+        )
+        .select("c_custkey")
+        .distinct()
+    )
+
+
+_SQL_J1 = """
+SELECT DISTINCT c_custkey
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+WHERE c_acctbal > 9000.0 OR n_name = 'NATION_3' OR r_name = 'REGION_1'
+"""
+
+
+def q_semi_join_changed(spark, sf_dir):
+    """J2: set-oriented semi-join of change keys to payload rows
+    (CwsChangedUsersServiceImpl.java:33-45 batched IN → LEFT SEMI)."""
+    li = _t(spark, sf_dir, "lineitem")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    return (
+        li.join(recent, li.l_orderkey == recent.o_orderkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+_SQL_SEMI = """
+SELECT l_partkey, count(*) AS n_lines, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY l_partkey
+"""
+
+
+def q_point_lookup_join(spark, sf_dir):
+    """J3: per-key payload assembly as one hash join instead of N point
+    lookups (BatchReadersPool.java:46-63)."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .withColumn("o_totalprice", F.round("o_totalprice", 4))
+    )
+
+
+_SQL_LOOKUP = """
+SELECT o_orderkey, c_name, round(o_totalprice, 4) AS o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------- aggregations ---------------------------------
+
+def q_max_savepoint(spark, sf_dir):
+    """A1: max-aggregate establishing the first incremental savepoint
+    (FirstIncrementalSavePointDao.java:20-25)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.max("ts").alias("sp_ts"), F.max("event_id").alias("sp_lsn")
+    )
+
+
+_SQL_SAVEPOINT = "SELECT max(ts) AS sp_ts, max(event_id) AS sp_lsn FROM events"
+
+
+def q_distinct_change_keys(spark, sf_dir):
+    """A2: DISTINCT change keys (CAP/entity/UserId.java:36)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") > F.lit("2024-01-15 00:00:00"))
+        .select("user_id")
+        .distinct()
+    )
+
+
+_SQL_DISTINCT = """
+SELECT DISTINCT user_id FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+
+def q_metrics_counts(spark, sf_dir):
+    """A3: per-type counters (ConsumerCounter analog)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+_SQL_METRICS = """
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       max(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+
+# ------------------------------ windows ------------------------------------
+
+def q_lww_window_rank(spark, sf_dir):
+    """W1/A4: the LWW ranking window (rownumber over key order by version)
+    — CwdsJobsLimitHandler.java:9-18's rownumber() + engine LWW."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+_SQL_LWW_RANK = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+# ------------------------------ set ops ------------------------------------
+
+def q_union_sources(spark, sf_dir):
+    """U1: union of two change sources
+    (CapUsersIncrementalUpdatesProcessor.java:26-42)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("cws").alias("src")
+    )
+    b = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.lit("cap").alias("src")
+    )
+    return a.unionByName(b)
+
+
+_SQL_UNION = """
+SELECT event_id, user_id, 'cws' AS src FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, user_id, 'cap' AS src FROM events WHERE event_type = 'signup'
+"""
+
+
+# --------------------------- sorts / limits --------------------------------
+
+def q_topk_recent(spark, sf_dir):
+    """O1/O4: deterministic total order + truncate."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "user_id", "ts")
+    )
+
+
+_SQL_TOPK = """
+SELECT event_id, user_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_keyset_page(spark, sf_dir):
+    """O2/P10: keyset pagination probe (facNbr > cursor, LIMIT page)
+    (LicenseNumberIdentifier.java:32-34)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") > 500)
+        .orderBy("event_id")
+        .limit(50)
+        .select("event_id", "event_type")
+    )
+
+
+_SQL_KEYSET = """
+SELECT event_id, event_type FROM events WHERE event_id > 500 ORDER BY event_id LIMIT 50
+"""
+
+
+# ----------------------- training-data pipeline ----------------------------
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup: hash-groupBy on canonical text (one shuffle)."""
+    from cwds_jobs_spark.operators.doc_dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_SQL_EXACT_DEDUP = """
+SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex proxy."""
+    from cwds_jobs_spark.functions.text import token_count, word_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        word_token_count("text").alias("n_word_tokens"),
+        F.length("text").cast("long").alias("n_chars_live"),
+    )
+
+
+_SQL_TOKENS = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_word_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_live
+FROM documents
+"""
+
+
+def _langid_sql() -> str:
+    from cwds_jobs_spark.functions.text import _LANG_PROBES
+
+    score = {
+        lang: (
+            "len(regexp_extract_all(text, '(?i)\\b("
+            + "|".join(ws)
+            + ")\\b'))"
+        )
+        for lang, ws in _LANG_PROBES.items()
+    }
+    # argmax with max-lang tiebreak, mirroring array_max(struct(score,lang))
+    order = sorted(score, reverse=True)  # 'fr' > 'es' > 'en' > 'de'
+    cases = []
+    for i, lang in enumerate(order):
+        conds = [f"{score[lang]} > 0"]
+        conds += [f"{score[lang]} >= {score[o]}" for o in order[i + 1:]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"SELECT doc_id, lang AS lang_given, {case_sql} AS lang_pred FROM documents"
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID via stopword-probe heuristic (native regexp_count)."""
+    from cwds_jobs_spark.functions.text import lang_id
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_given"), lang_id("text").alias("lang_pred")
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """C4-style quality heuristic; all-native projection."""
+    from cwds_jobs_spark.functions.text import quality_score
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+
+
+_SQL_QUALITY = """
+SELECT doc_id,
+ round(
+   0.4 * (least(length(text) / 200.0, 1.0)
+          * CASE WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END)
+ + 0.3 * (CASE WHEN length(text) > 0
+                AND len(regexp_extract_all(text, '[^\\w\\s]')) / length(text) > 0.005
+                AND len(regexp_extract_all(text, '[^\\w\\s]')) / length(text) < 0.2
+           THEN 1.0 ELSE 0.5 END)
+ + 0.3 * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                AND len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|in|that|it)\\b'))
+                    * 1.0 / (CASE WHEN trim(text) = '' THEN 1
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0.05
+           THEN 1.0 ELSE 0.3 END)
+ , 6) AS quality
+FROM documents
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 embedding."""
+    from cwds_jobs_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb, list(query), k=10)
+
+
+_SQL_COSINE = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# ------------------ rows-only ops (not SQL-expressible) ---------------------
+
+def q_minhash_near_dups(spark, sf_dir):
+    from cwds_jobs_spark.operators.doc_dedup import minhash_near_dups
+
+    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from cwds_jobs_spark.operators.doc_dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from cwds_jobs_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return lsh_bucketed_topk(emb, qs, k=10, n_bits=4, num_tables=8)
+
+
+def q_fingerprint(spark, sf_dir):
+    from cwds_jobs_spark.functions.text import fingerprint64
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint64("text").alias("fp64")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from cwds_jobs_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 500))
+
+
+def q_cdc_merge_replay(spark, sf_dir):
+    """End-to-end engine replay: synthesize a change tail, MERGE it into
+    a fresh snapshot table, return final state (rows-only check)."""
+    import tempfile
+
+    from cwds_jobs_spark.operators.merge import merge_apply
+    from cwds_jobs_spark.schema import TRANSCRIPTS_SCHEMA
+    from cwds_jobs_spark.synth import synth_changes
+    from cwds_jobs_spark.table.snapshot import SnapshotTable
+
+    d = tempfile.mkdtemp(prefix="cdc_entry_")
+    tbl = SnapshotTable.create(spark, d, TRANSCRIPTS_SCHEMA, num_buckets=8)
+    for b in range(3):
+        merge_apply(
+            tbl,
+            synth_changes(spark, 2000, n_convs=60, start_lsn=2000 * b),
+            job_id="entry",
+            batch_id=b,
+        )
+    return tbl.read()
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: CDC LWW final-state replay."""
+    return q_cdc_final_state(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_final_state": q_cdc_final_state,
+        "change_scan_window": q_change_scan_window,
+        "initial_excludes_deletes": q_initial_excludes_deletes,
+        "filter_predicates": q_filter_predicates,
+        "json_props": q_json_props,
+        "multiway_left_join_distinct": q_multiway_left_join_distinct,
+        "semi_join_changed": q_semi_join_changed,
+        "point_lookup_join": q_point_lookup_join,
+        "max_savepoint": q_max_savepoint,
+        "distinct_change_keys": q_distinct_change_keys,
+        "metrics_counts": q_metrics_counts,
+        "lww_window_rank": q_lww_window_rank,
+        "union_sources": q_union_sources,
+        "topk_recent": q_topk_recent,
+        "keyset_page": q_keyset_page,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "cosine_topk": q_cosine_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_lsh": q_ann_lsh,
+        "fingerprint": q_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "cdc_merge_replay": q_cdc_merge_replay,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_final_state": _SQL_CDC,
+        "change_scan_window": _SQL_SCAN,
+        "initial_excludes_deletes": _SQL_NO_DELETES,
+        "filter_predicates": _SQL_FILTERS,
+        "json_props": _SQL_JSON,
+        "multiway_left_join_distinct": _SQL_J1,
+        "semi_join_changed": _SQL_SEMI,
+        "point_lookup_join": _SQL_LOOKUP,
+        "max_savepoint": _SQL_SAVEPOINT,
+        "distinct_change_keys": _SQL_DISTINCT,
+        "metrics_counts": _SQL_METRICS,
+        "lww_window_rank": _SQL_LWW_RANK,
+        "union_sources": _SQL_UNION,
+        "topk_recent": _SQL_TOPK,
+        "keyset_page": _SQL_KEYSET,
+        "exact_dedup_docs": _SQL_EXACT_DEDUP,
+        "token_stats": _SQL_TOKENS,
+        "lang_id": _langid_sql(),
+        "quality_score": _SQL_QUALITY,
+        "cosine_topk": _SQL_COSINE,
+    }

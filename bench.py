@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Times the headline queries from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]``, plus an end-to-end CDC replay
+(synth tail -> LWW dedup -> bucketed MERGE -> atomic commit) whose
+events/sec is the BASELINE.json headline metric.  Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "cdc_replay": {...}, "scaling": {...}}
+
+``SPARK_GRAFT_BENCH_SCALING=1`` additionally runs the identical CDC
+replay at ``local[8]`` and ``local[32]`` (same deterministic input —
+synth is partition-stable, see cwds_jobs_spark/synth.py) and reports
+throughput at both plus efficiency = (T_32/T_8)/4, the sandbox
+evidence for the north-rule's N->4N executor scaling criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPLAY_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", 2_000_000))
+REPLAY_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", 50_000))
+
+# headline subset: the operators that dominate the engine's hot path
+# (CDC LWW, joins, dedup, text pipeline, similarity) — full coverage
+# runs in the driver's correctness pass, not here.
+HEADLINE = [
+    "cdc_final_state",
+    "change_scan_window",
+    "filter_predicates",
+    "multiway_left_join_distinct",
+    "semi_join_changed",
+    "point_lookup_join",
+    "metrics_counts",
+    "lww_window_rank",
+    "topk_recent",
+    "exact_dedup_docs",
+    "token_stats",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "cosine_topk",
+    "minhash_near_dups",
+    "simhash_near_dups",
+]
+
+
+def _session(cpus: str):
+    from cwds_jobs_spark.session import get_spark
+
+    # shuffle partitions sized to the core count: at this data scale
+    # extra partitions are pure scheduling overhead, and matching
+    # cores is also what a 1000-executor deploy would do per-stage
+    # (AQE coalesces the rest).
+    return get_spark(
+        app_name=f"bench-local{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2,
+    )
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def run_cdc_replay(spark, n_events: int, n_windows: int = 4) -> dict:
+    """Timed end-to-end replay: tail -> canon -> LWW -> MERGE -> commit.
+
+    The tail is pre-materialized to parquet (reading the binlog is the
+    source side, not the apply path being measured), then applied in
+    ``n_windows`` sequential MERGE windows like the incremental loop.
+    """
+    from cwds_jobs_spark.functions.canon import normalize_turns
+    from cwds_jobs_spark.operators.merge import merge_apply
+    from cwds_jobs_spark.schema import TRANSCRIPTS_SCHEMA
+    from cwds_jobs_spark.synth import synth_changes
+    from cwds_jobs_spark.table.snapshot import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        per = n_events // n_windows
+        tail_dir = os.path.join(work, "tail")
+        for w in range(n_windows):
+            synth_changes(
+                spark, per, n_convs=REPLAY_CONVS, start_lsn=per * w,
+                num_partitions=int(CPUS) * 2,
+            ).write.parquet(os.path.join(tail_dir, f"w{w}"))
+
+        tbl = SnapshotTable.create(
+            spark, os.path.join(work, "tbl"), TRANSCRIPTS_SCHEMA, num_buckets=64
+        )
+        t0 = time.perf_counter()
+        for w in range(n_windows):
+            batch = spark.read.parquet(os.path.join(tail_dir, f"w{w}"))
+            merge_apply(tbl, normalize_turns(batch), job_id="bench", batch_id=w)
+        wall = time.perf_counter() - t0
+        final_rows = tbl.read().count()
+        return {
+            "events": n_events,
+            "windows": n_windows,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall, 1),
+            "final_rows": final_rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_scaling(n_events: int) -> dict:
+    """Same replay at local[8] and local[32]; efficiency = (T32/T8)/4."""
+    res = {}
+    for cpus in ("8", "32"):
+        spark = _session(cpus)
+        try:
+            r = run_cdc_replay(spark, n_events)
+            res[f"local[{cpus}]"] = r
+        finally:
+            spark.stop()
+    t8 = res["local[8]"]["events_per_sec"]
+    t32 = res["local[32]"]["events_per_sec"]
+    res["speedup_8_to_32"] = round(t32 / t8, 3)
+    res["scaling_efficiency"] = round((t32 / t8) / 4.0, 3)
+    return res
+
+
+def main() -> None:
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
+        scaling = run_scaling(REPLAY_EVENTS)
+
+    spark = _session(CPUS)
+    try:
+        t0 = time.perf_counter()
+        queries = run_headline(spark)
+        cdc = run_cdc_replay(spark, REPLAY_EVENTS)
+        total = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.stop()
+
+    out = {
+        "metric": "headline queries + CDC replay wall time (sf0.1, local[%s])" % CPUS,
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "cdc_replay": cdc,
+    }
+    if scaling is not None:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,15 +89,16 @@ def merge_apply(
 
     deduped = lww_dedup(batch_df, table.key_cols).persist()
     try:
-        n_keys = deduped.count()
+        # one action: affected buckets + key count together
+        bucket = table.bucket_of()
+        per_bucket = (
+            deduped.groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        n_keys = sum(r["n"] for r in per_bucket)
         if n_keys == 0:
             table.record_ledger(job_id, batch_id)
             return {"skipped": False, "batch_id": batch_id, "events": 0, **stats}
-
-        bucket = table.bucket_of()
-        affected = sorted(
-            r[0] for r in deduped.select(bucket.alias("b")).distinct().collect()
-        )
+        affected = sorted(r["b"] for r in per_bucket)
 
         # winners in table shape + version vector + tombstone flag
         payload_cols = [

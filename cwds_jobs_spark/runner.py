@@ -177,7 +177,10 @@ class CdcJobRunner:
                 container.savepoint = st.SavePoint(ts=hi["op_ts"], lsn=hi["lsn"])
                 container.batch_id = batch_id
                 self.sp_svc.write(container)
-                total["events"] += stats.get("events") or 0
+                # without a lineage dir the exact event count is not
+                # measured (extra pass); fall back to deduped key count
+                n = stats.get("events")
+                total["events"] += stats.get("keys", 0) if n is None else n
                 total["windows"] += 1
             finally:
                 window.unpersist()

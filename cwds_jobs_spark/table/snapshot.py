@@ -193,6 +193,7 @@ class SnapshotTable:
         *,
         new_schema: T.StructType | None = None,
         ledger_update: dict[str, int] | None = None,
+        write_tasks_per_bucket: int = 1,
     ) -> None:
         """Atomically replace ``affected`` buckets with ``df``'s rows.
 
@@ -200,6 +201,15 @@ class SnapshotTable:
         rows are hashed into buckets here.  Buckets not listed keep
         their existing files untouched (this is what makes MERGE cost
         proportional to the batch, not the table).
+
+        Rows are clustered by bucket id before the write: without
+        this, every upstream task holding rows for a bucket opens its
+        own file there — ``tasks × buckets`` small files per commit,
+        which at scale dominates scan and commit cost.  One extra
+        shuffle buys one file per bucket (Iceberg's
+        ``write.distribution-mode=hash``).  ``write_tasks_per_bucket``
+        > 1 salts the clustering for huge buckets so several tasks
+        (and files) share the write of one bucket.
         """
         snap = {k: (dict(v) if isinstance(v, dict) else v) for k, v in self._snap.items()}
         snap["version"] = self.version + 1
@@ -208,9 +218,17 @@ class SnapshotTable:
 
         commit_dir = f"data/commit-{snap['version']:09d}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, commit_dir)
+        out = df.withColumn(BUCKET_COL, self.bucket_of())
+        n_parts = max(1, len(affected) or self.num_buckets) * max(
+            1, write_tasks_per_bucket
+        )
+        if write_tasks_per_bucket > 1:
+            salt = F.pmod(F.xxhash64(*self.key_cols), F.lit(write_tasks_per_bucket))
+            out = out.repartition(n_parts, F.col(BUCKET_COL), salt)
+        else:
+            out = out.repartition(n_parts, F.col(BUCKET_COL))
         (
-            df.withColumn(BUCKET_COL, self.bucket_of())
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(abs_dir)
         )

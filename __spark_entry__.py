@@ -187,6 +187,28 @@ GROUP BY l_partkey
 """
 
 
+def q_anti_join_unprocessed(spark, sf_dir):
+    """S3/P7: the audit job's ``processed = false`` guard re-expressed
+    set-oriented — an anti-join of the base set against the applied
+    set (AUD/NsAuditEventDao.java:24-39; SURVEY.md maps the processed
+    flag to an anti-join vs the lineage table)."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+"""
+
+
 def q_point_lookup_join(spark, sf_dir):
     """J3: per-key payload assembly as one hash join instead of N point
     lookups (BatchReadersPool.java:46-63)."""
@@ -329,6 +351,53 @@ def q_keyset_page(spark, sf_dir):
 
 _SQL_KEYSET = """
 SELECT event_id, event_type FROM events WHERE event_id > 500 ORDER BY event_id LIMIT 50
+"""
+
+
+def q_session_windows(spark, sf_dir):
+    """Gap-based session windows over the event stream (batch flavor of
+    streaming/sessionize.py: lag + cumsum session ids, 1h gap)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = 3600
+    df = (
+        _t(spark, sf_dir, "events")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | ((F.unix_timestamp("ts") - F.unix_timestamp("_prev")) > gap_s)
+            ).cast("long"),
+        )
+        .withColumn("sid", F.sum("_new").over(w))
+    )
+    return df.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SQL_SESSIONS = """
+SELECT user_id, sid,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)) > 3600
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+)
+GROUP BY user_id, sid
 """
 
 
@@ -528,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "multiway_left_join_distinct": q_multiway_left_join_distinct,
         "semi_join_changed": q_semi_join_changed,
+        "anti_join_unprocessed": q_anti_join_unprocessed,
         "point_lookup_join": q_point_lookup_join,
         "max_savepoint": q_max_savepoint,
         "distinct_change_keys": q_distinct_change_keys,
@@ -536,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_sources": q_union_sources,
         "topk_recent": q_topk_recent,
         "keyset_page": q_keyset_page,
+        "session_windows": q_session_windows,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
@@ -559,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": _SQL_JSON,
         "multiway_left_join_distinct": _SQL_J1,
         "semi_join_changed": _SQL_SEMI,
+        "anti_join_unprocessed": _SQL_ANTI,
         "point_lookup_join": _SQL_LOOKUP,
         "max_savepoint": _SQL_SAVEPOINT,
         "distinct_change_keys": _SQL_DISTINCT,
@@ -567,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "union_sources": _SQL_UNION,
         "topk_recent": _SQL_TOPK,
         "keyset_page": _SQL_KEYSET,
+        "session_windows": _SQL_SESSIONS,
         "exact_dedup_docs": _SQL_EXACT_DEDUP,
         "token_stats": _SQL_TOKENS,
         "lang_id": _langid_sql(),

@@ -72,13 +72,37 @@ def ngram_jaccard(a_col: str, b_col: str):
 
 # ------------------------------------------------------------- minhash
 
-def minhash_signature(shingle_col: str, num_hashes: int = 32, seed: int = 7):
-    """array<long> of k minhashes — k array_min(transform(...)) exprs,
-    fully JVM-side (xxhash64 with per-hash seed)."""
-    col = F.col(shingle_col)
+def shingle_hashes(shingle_col: str, seed: int = 7):
+    """Hash each shingle string ONCE to a long (the expensive pass)."""
+    return F.transform(F.col(shingle_col), lambda s: F.xxhash64(s, F.lit(seed)))
+
+
+def minhash_signature_from_hashes(hash_col: str, num_hashes: int = 32):
+    """array<long> of k minhashes from pre-hashed shingles.
+
+    The k-member hash family re-hashes the 8-byte long
+    (``xxhash64(h, i)``) instead of the original string — one string
+    pass total + k cheap long passes, ~10x less hashing work than
+    k string passes.
+    """
+    col = F.col(hash_col)
     empty = F.size(col) == 0
     mins = [
-        F.array_min(F.transform(col, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
+        F.array_min(F.transform(col, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.when(empty, F.lit(None)).otherwise(F.array(*mins))
+
+
+def minhash_signature(shingle_col: str, num_hashes: int = 32, seed: int = 7):
+    """Back-compat wrapper: string shingles -> k minhashes directly.
+    Callers on the hot path should materialize :func:`shingle_hashes`
+    in a separate projection first so the string pass runs once."""
+    col = F.col(shingle_col)
+    empty = F.size(col) == 0
+    base = F.transform(col, lambda s: F.xxhash64(s, F.lit(seed)))
+    mins = [
+        F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
         for i in range(num_hashes)
     ]
     return F.when(empty, F.lit(None)).otherwise(F.array(*mins))
@@ -94,12 +118,27 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     max_bucket: int = 50,
     seed: int = 7,
+    pre_shingled: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via banded minhash LSH."""
+    """Candidate near-dup pairs (id_a < id_b) via banded minhash LSH.
+
+    ``pre_shingled=True`` takes ``df`` as ``(id_col, shingles)`` rows
+    (e.g. a cached shingle table) instead of raw text.
+    """
     rows_per_band = num_hashes // bands
+    shingled = (
+        df.select(id_col, "shingles")
+        if pre_shingled
+        else shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    )
     sig = (
-        shingles(df.select(id_col, text_col), text_col, n=shingle_n)
-        .withColumn("sig", minhash_signature("shingles", num_hashes, seed))
+        shingled
+        # separate projections: the string-hash pass materializes once,
+        # the k min-passes then run over longs (CollapseProject keeps
+        # expensive exprs from being duplicated across references)
+        .withColumn("_bh", shingle_hashes("shingles", seed))
+        .withColumn("sig", minhash_signature_from_hashes("_bh", num_hashes))
+        .drop("_bh")
         .filter(F.col("sig").isNotNull())
     )
     band_vals = F.array(
@@ -155,18 +194,29 @@ def minhash_near_dups(
     threshold: float = 0.7,
     **kw,
 ) -> DataFrame:
-    """LSH candidates verified by exact n-gram Jaccard ≥ threshold."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=kw.get("shingle_n", 3))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    cand = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **kw)
-    return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", F.round(ngram_jaccard("sh_a", "sh_b"), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    """LSH candidates verified by exact n-gram Jaccard ≥ threshold.
+
+    Shingling runs once and is cached for the run: the candidate pass
+    and both sides of the verification join reuse it instead of
+    re-shingling the corpus three times.
+    """
+    sh = shingles(
+        df.select(id_col, text_col), text_col, n=kw.get("shingle_n", 3)
+    ).select(id_col, "shingles").persist()
+    try:
+        sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+        cand = minhash_lsh_candidates(sh, id_col=id_col, pre_shingled=True, **kw)
+        return (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .withColumn("jaccard", F.round(ngram_jaccard("sh_a", "sh_b"), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+            .localCheckpoint()  # materialize before unpersisting the shingle cache
+        )
+    finally:
+        sh.unpersist()
 
 
 # -------------------------------------------------------------- simhash

@@ -87,74 +87,81 @@ def merge_apply(
         else {"events": None}
     )
 
-    deduped = lww_dedup(batch_df, table.key_cols).persist()
-    try:
-        # one action: affected buckets + key count together
-        bucket = table.bucket_of()
-        per_bucket = (
-            deduped.groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
-        )
-        n_keys = sum(r["n"] for r in per_bucket)
-        if n_keys == 0:
-            table.record_ledger(job_id, batch_id)
-            return {"skipped": False, "batch_id": batch_id, "events": 0, **stats}
-        affected = sorted(r["b"] for r in per_bucket)
+    # affected-bucket probe: partial-agg distinct over ≤num_buckets
+    # values — a near-free scan, no payload shuffle
+    bucket = table.bucket_of()
+    affected = sorted(
+        r["b"]
+        for r in batch_df.select(bucket.alias("b")).distinct().collect()
+    )
+    if not affected:
+        table.record_ledger(job_id, batch_id)
+        return {"skipped": False, "batch_id": batch_id, "events": 0, **stats}
 
-        # winners in table shape + version vector + tombstone flag
-        payload_cols = [
-            c for c in deduped.columns
-            if c not in table.key_cols and c not in ("op", "op_ts", "lsn")
-        ]
-        winners = deduped.select(
+    # batch events in table shape + version vector + tombstone flag.
+    # NO pre-dedup pass: the per-key LWW over (target ∪ raw batch)
+    # below subsumes it — max(struct) over the union picks the same
+    # winner, in ONE payload shuffle instead of two (the map-side
+    # partial combine is what used to be the lww_dedup stage).
+    payload_cols = [
+        c for c in batch_df.columns
+        if c not in table.key_cols and c not in ("op", "op_ts", "lsn")
+    ]
+    winners = batch_df.select(
+        *table.key_cols,
+        *payload_cols,
+        F.col("op_ts").alias(VERSION_TS),
+        F.col("lsn").alias(VERSION_LSN),
+        (F.col("op") == OP_DELETE).alias(TOMBSTONE),
+    )
+
+    cur_schema = table.schema
+    merged = merge_schemas(cur_schema, winners.schema)
+    evolved = merged is not cur_schema
+
+    target = table.read(affected, include_internal=True)
+    combined = _align(target, merged).unionByName(_align(winners, merged))
+
+    # per-key LWW across (target ∪ batch): one hash aggregate with
+    # map-side partial combine — commutative, skew-immune (a hot key's
+    # events reduce inside each input partition before the shuffle).
+    # Legacy rows without a version vector rank lowest.
+    non_key = [f.name for f in merged.fields if f.name not in table.key_cols]
+    packed = F.max(
+        F.struct(
+            F.coalesce(F.col(VERSION_TS), F.lit(_MIN_TS)).alias("__vt"),
+            F.coalesce(F.col(VERSION_LSN), F.lit(-1)).alias("__vl"),
+            *[F.col(c) for c in non_key],
+        )
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation(f"merge-{job_id}-{batch_id}")
+    result = (
+        combined.groupBy(*table.key_cols)
+        .agg(packed.alias("_w"))
+        .select(
             *table.key_cols,
-            *payload_cols,
-            F.col("op_ts").alias(VERSION_TS),
-            F.col("lsn").alias(VERSION_LSN),
-            (F.col("op") == OP_DELETE).alias(TOMBSTONE),
+            *[F.col(f"_w.{c}").alias(c) for c in non_key],
         )
+        .observe(obs, F.count(F.lit(1)).alias("n_keys"))
+    )
 
-        cur_schema = table.schema
-        merged = merge_schemas(cur_schema, winners.schema)
-        evolved = merged is not cur_schema
-
-        target = table.read(affected, include_internal=True)
-        combined = _align(target, merged).unionByName(_align(winners, merged))
-
-        # per-key LWW across (target ∪ batch): one hash aggregate with
-        # map-side partial combine — commutative, skew-immune.
-        # Legacy rows without a version vector rank lowest.
-        non_key = [f.name for f in merged.fields if f.name not in table.key_cols]
-        packed = F.max(
-            F.struct(
-                F.coalesce(F.col(VERSION_TS), F.lit(_MIN_TS)).alias("__vt"),
-                F.coalesce(F.col(VERSION_LSN), F.lit(-1)).alias("__vl"),
-                *[F.col(c) for c in non_key],
-            )
-        )
-        result = (
-            combined.groupBy(*table.key_cols)
-            .agg(packed.alias("_w"))
-            .select(
-                *table.key_cols,
-                *[F.col(f"_w.{c}").alias(c) for c in non_key],
-            )
-        )
-
-        table.overwrite_buckets(
-            result,
-            affected,
-            new_schema=merged if evolved else None,
-            ledger_update={job_id: batch_id},
-        )
-        return {
-            "skipped": False,
-            "batch_id": batch_id,
-            "keys": n_keys,
-            "affected_buckets": len(affected),
-            **stats,
-        }
-    finally:
-        deduped.unpersist()
+    table.overwrite_buckets(
+        result,
+        affected,
+        new_schema=merged if evolved else None,
+        ledger_update={job_id: batch_id},
+    )
+    return {
+        "skipped": False,
+        "batch_id": batch_id,
+        # keys now in the rewritten buckets (collected during the
+        # write via observe() — no extra pass)
+        "keys": obs.get["n_keys"],
+        "affected_buckets": len(affected),
+        **stats,
+    }
 
 
 def compact_tombstones(table: SnapshotTable, watermark_ts) -> int:

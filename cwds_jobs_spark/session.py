@@ -46,7 +46,13 @@ def get_spark(
         # local mode = driver-only JVM; this is the one memory knob
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # snappy: zstd-jni measured 4x slower on the write-heavy merge
+        # path here (90s vs 21.5s per 8M-row commit); storage-economics
+        # deployments can flip via env
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_CODEC", "snappy"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # streaming micro-batches re-list the changes dir; keep state small

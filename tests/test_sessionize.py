@@ -1,0 +1,91 @@
+"""Stateful streaming sessionization (applyInPandasWithState):
+in-batch gap splits, event-time timeout closes, late-data contract.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cwds_jobs_spark.schema import CHANGES_SCHEMA
+from cwds_jobs_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+
+T0 = dt.datetime(2022, 1, 1)
+
+
+def _ev(conv, turn, minutes, lsn):
+    t = T0 + dt.timedelta(minutes=minutes)
+    return (conv, turn, "I", t, lsn, "user", f"{conv}@{minutes}", None, t)
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(rows, CHANGES_SCHEMA).coalesce(1).write.parquet(path)
+
+
+def test_streaming_sessions_close_by_gap_and_timeout(spark, ws, tmp_path):
+    src = ws["changes"]
+    # f1: conv A has two activity bursts (in-batch gap split), conv B one
+    _write(spark, [
+        _ev("A", 0, 0, 0), _ev("A", 1, 1, 1), _ev("A", 2, 120, 2),
+        _ev("B", 0, 0, 3), _ev("B", 1, 1, 4), _ev("B", 2, 2, 5),
+    ], os.path.join(src, "f1"))
+    # f2 advances the watermark far past A/B; f3 triggers their timeouts
+    _write(spark, [_ev("C", 0, 300, 6)], os.path.join(src, "f2"))
+    _write(spark, [_ev("D", 0, 301, 7)], os.path.join(src, "f3"))
+
+    events = (
+        spark.readStream.schema(CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sessions = sessionize_stream(
+        events, gap=dt.timedelta(minutes=30), watermark="10 minutes"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", ws["checkpoint"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.session_start.minute + 60 * r.session_start.hour): r
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # A burst 1 (t=0..1) closed in-batch by the gap split
+    a1 = got[("A", 0)]
+    assert a1.closed_by == "gap" and a1.n_events == 2 and a1.n_turns == 2
+    # B (t=0..2) closed by event-time timeout once the watermark passed
+    b = got[("B", 0)]
+    assert b.closed_by == "timeout" and b.n_events == 3 and b.n_turns == 3
+    # A burst 2 (t=120min -> 2:00) closed by timeout after f2's
+    # watermark advance; key is minute-of-day
+    a2 = got[("A", 120)]
+    assert a2.closed_by == "timeout" and a2.n_events == 1
+    # C and D sessions are still open (watermark never passed them)
+    assert not any(c == "C" or c == "D" for c, _ in got)
+    assert len(got) == 3
+
+
+def test_batch_oracle_agrees_on_closed_sessions(spark, ws):
+    rows = [
+        _ev("A", 0, 0, 0), _ev("A", 1, 1, 1), _ev("A", 2, 120, 2),
+        _ev("B", 0, 0, 3), _ev("B", 1, 1, 4), _ev("B", 2, 2, 5),
+        _ev("C", 0, 300, 6), _ev("D", 0, 301, 7),
+    ]
+    df = spark.createDataFrame(rows, CHANGES_SCHEMA)
+    out = {
+        (r.conv_id, r.session_start, r.session_end): (r.n_events, r.n_turns)
+        for r in sessionize_batch(df, gap=dt.timedelta(minutes=30)).collect()
+    }
+    assert out[("A", T0, T0 + dt.timedelta(minutes=1))] == (2, 2)
+    assert out[("A", T0 + dt.timedelta(minutes=120),
+                T0 + dt.timedelta(minutes=120))] == (1, 3)
+    assert out[("B", T0, T0 + dt.timedelta(minutes=2))] == (3, 3)
+    assert len(out) == 5  # incl. open-ended C and D singletons

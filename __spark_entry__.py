@@ -354,6 +354,35 @@ SELECT event_id, event_type FROM events WHERE event_id > 500 ORDER BY event_id L
 """
 
 
+def q_windowed_metrics(spark, sf_dir):
+    """Event-time tumbling-window ingest metrics (batch flavor of
+    streaming/windows.py; epoch-aligned 1h windows = date_trunc)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_users",
+            "max_event_id",
+        )
+    )
+
+
+_SQL_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       max(event_id) AS max_event_id
+FROM events GROUP BY 1
+"""
+
+
 def q_session_windows(spark, sf_dir):
     """Gap-based session windows over the event stream (batch flavor of
     streaming/sessionize.py: lag + cumsum session ids, 1h gap)."""
@@ -545,6 +574,17 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_topk(emb, qs, k=10, n_bits=4, num_tables=8)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from cwds_jobs_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return ivf_topk(emb, qs, k=10, n_centroids=16, nprobe=4)
+
+
 def q_fingerprint(spark, sf_dir):
     from cwds_jobs_spark.functions.text import fingerprint64
 
@@ -607,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_recent": q_topk_recent,
         "keyset_page": q_keyset_page,
         "session_windows": q_session_windows,
+        "windowed_metrics": q_windowed_metrics,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
@@ -615,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
         "cdc_merge_replay": q_cdc_merge_replay,
@@ -640,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_recent": _SQL_TOPK,
         "keyset_page": _SQL_KEYSET,
         "session_windows": _SQL_SESSIONS,
+        "windowed_metrics": _SQL_WINDOWED,
         "exact_dedup_docs": _SQL_EXACT_DEDUP,
         "token_stats": _SQL_TOKENS,
         "lang_id": _langid_sql(),

@@ -110,6 +110,131 @@ def topk_for_queries(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    *,
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    iters: int = 8,
+    seed: int = 23,
+) -> np.ndarray:
+    """k-means centroids for IVF partitioning, trained driver-side on a
+    bounded sample (Lloyd's on ≤``sample`` vectors — training cost is
+    independent of corpus size; assignment below is distributed)."""
+    rows = (
+        corpus.select(vec_col)
+        .limit(sample)
+        .toPandas()[vec_col]
+    )
+    x = np.vstack(rows.map(np.asarray).to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms  # cosine => spherical k-means on unit vectors
+    rs = np.random.RandomState(seed)
+    cent = x[rs.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            m = x[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: np.ndarray, *, vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Distributed nearest-centroid assignment — one Arrow-batched
+    numpy matmul per partition (mapInPandas), no shuffle."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in parts:
+            if pdf.empty:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            nv = np.linalg.norm(m, axis=1)
+            nv[nv == 0] = 1.0
+            pdf = pdf.copy()
+            pdf[out_col] = np.argmax((m / nv[:, None]) @ cent.T, axis=1)
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(corpus.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+    return corpus.mapInPandas(assign, schema=out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 23,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus rows whose cell is among
+    the query's ``nprobe`` nearest centroids.
+
+    At 100 TB the assignment is a write-once byproduct of ingestion
+    (store ``ivf_cell`` as a partition column); queries then prune
+    ~(1 - nprobe/n_centroids) of the corpus at the scan.
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, vec_col=vec_col, seed=seed
+        )
+    assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
+
+    qrows = []
+    for qid, qv in queries:
+        v = np.asarray(qv, dtype=np.float64)
+        n = np.linalg.norm(v)
+        if n > 0:
+            v = v / n
+        cells = np.argsort(-(centroids @ v))[:nprobe]
+        for cell in cells:
+            qrows.append((int(qid), list(map(float, qv)), int(cell)))
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, qvec array<double>, ivf_cell int"
+    )
+    cand = assigned.join(F.broadcast(qdf), "ivf_cell").select(
+        "query_id", id_col, vec_col, "qvec"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    nq = F.sqrt(F.aggregate(F.col("qvec"), F.lit(0.0), lambda a, x: a + x * x))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(F.when((nv > 0) & (nq > 0), dot / (nv * nq)).otherwise(0.0), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     rs = np.random.RandomState(seed)
     return rs.normal(size=(n_bits, dim))

@@ -19,6 +19,8 @@ batch runner:
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -42,6 +44,8 @@ def start_cdc_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = False,
     on_batch=None,
+    maintenance_every: int | None = None,
+    allowed_lateness: "dt.timedelta | None" = None,
 ) -> StreamingQuery:
     """Start (or resume, if the checkpoint exists) the CDC apply stream.
 
@@ -49,6 +53,16 @@ def start_cdc_stream(
     batch-job flavor with streaming bookkeeping (used by tests and the
     bench).  ``on_batch`` is a hook for fault-injection tests
     (reference BrokenTestEntityService.java:10-25 analog).
+
+    ``maintenance_every=K`` runs table maintenance after every K-th
+    applied batch: tombstones whose version is older than
+    ``max(op_ts) - allowed_lateness`` are purged (a purged tombstone
+    could otherwise be resurrected by a late stale insert, so the
+    bound must match the source's out-of-orderness contract — same
+    role as ``withWatermark``'s delay), and buckets fragmented past 4
+    file groups are compacted.  Maintenance is itself an atomic
+    snapshot commit, so a crash mid-maintenance is invisible to
+    readers.
     """
     if SnapshotTable.exists(table_path):
         table = SnapshotTable.load(spark, table_path)
@@ -64,13 +78,29 @@ def start_cdc_stream(
     def apply_batch(batch_df, epoch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch_df, epoch_id)
-        merge_apply(
+        stats = merge_apply(
             table,
             batch_df,
             job_id=job_id,
             batch_id=epoch_id,
             lineage_dir=lineage_dir,
         )
+        if (
+            maintenance_every
+            and not stats.get("skipped")
+            and epoch_id > 0
+            and epoch_id % maintenance_every == 0
+        ):
+            from pyspark.sql import functions as F
+
+            from cwds_jobs_spark.operators.merge import compact_tombstones
+            from cwds_jobs_spark.table.maintenance import compact_buckets
+
+            wm = batch_df.agg(F.max("op_ts")).collect()[0][0]
+            if wm is not None:
+                lateness = allowed_lateness or dt.timedelta(hours=1)
+                compact_tombstones(table, wm - lateness)
+            compact_buckets(table, max_files_per_bucket=4)
 
     writer = (
         src.writeStream.foreachBatch(apply_batch)

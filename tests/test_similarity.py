@@ -85,3 +85,34 @@ def test_resize_and_frames(spark):
     fr = sample_frames(media, every_ms=60000)
     n_videos = media.filter("kind='video'").count()
     assert fr.select("media_id").distinct().count() == n_videos
+
+
+# -------- IVF --------
+
+def test_ivf_topk_recall(spark, emb):
+    from cwds_jobs_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    rows = emb.collect()
+    queries = [(int(rows[i].vec_id), list(rows[i].embedding)) for i in (0, 5, 21)]
+    exact = {qid: set(_np_topk(rows, qv, 10)) for qid, qv in queries}
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    got = ivf_topk(emb, queries, k=10, centroids=cent, nprobe=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid, _ in queries:
+        # nprobe=4 of 8 cells scans ~half the corpus; self-match plus
+        # most neighbors should survive
+        assert qid in by_q[qid]
+        recall = len(exact[qid] & by_q[qid]) / 10
+        assert recall >= 0.5, f"IVF recall {recall} too low for {qid}"
+
+
+def test_ivf_assignment_covers_corpus(spark, emb):
+    from cwds_jobs_spark.operators.similarity import ivf_assign, train_ivf_centroids
+
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    assigned = ivf_assign(emb, cent)
+    assert assigned.count() == emb.count()
+    cells = [r.ivf_cell for r in assigned.select("ivf_cell").distinct().collect()]
+    assert all(0 <= c < 8 for c in cells) and len(cells) >= 4

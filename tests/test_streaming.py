@@ -103,3 +103,34 @@ def test_rate_limited_micro_batches(spark, ws):
     all_ev = synth_changes(spark, 600, n_convs=10).collect()
     # note: three windows with start_lsn 0/200/400 == one 600-event stream
     assert_matches(tbl.read(), replay(all_ev))
+
+
+def test_stream_maintenance_purges_tombstones(spark, ws):
+    """maintenance_every purges watermark-passed tombstones mid-stream
+    without changing visible state."""
+    import datetime as dt
+
+    from cwds_jobs_spark.operators.merge import TOMBSTONE
+
+    w0 = synth_changes(spark, 400, n_convs=10)  # ~10% deletes
+    write_changes_window(w0, ws["changes"], "w0")
+    # second window is far in the future: ts_group puts one second per
+    # 4 lsn, so jump start_lsn to push op_ts past lateness for w0
+    w1 = synth_changes(spark, 400, n_convs=10, start_lsn=4_000_000)
+    write_changes_window(w1, ws["changes"], "w1")
+    run_tail_once(
+        spark,
+        **_kw(ws),
+        max_files_per_trigger=1,
+        maintenance_every=1,
+        allowed_lateness=dt.timedelta(minutes=5),
+    )
+    tbl = SnapshotTable.load(spark, ws["table"])
+    assert_matches(tbl.read(), replay(list(w0.collect()) + list(w1.collect())))
+    internal = tbl.read(include_internal=True)
+    # every w0-era tombstone is older than (w1.max_ts - 5min) → purged
+    w0_max = max(r.op_ts for r in w0.collect())
+    stale = internal.filter(F.col(TOMBSTONE) & (F.col("_op_ts") <= F.lit(w0_max)))
+    assert stale.count() == 0
+    # w1-era tombstones inside the lateness window survive
+    assert internal.filter(F.col(TOMBSTONE)).count() > 0

@@ -413,9 +413,9 @@ SELECT user_id, sid,
        count(*) AS n_events
 FROM (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sid
+         CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM (
     SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -525,6 +525,36 @@ SELECT doc_id,
                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0.05
            THEN 1.0 ELSE 0.3 END)
  , 6) AS quality
+FROM documents
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Repetition ratio + mean word length (C4-style junk signals)."""
+    from cwds_jobs_spark.functions.text import mean_word_length, repetition_ratio
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        repetition_ratio("text").alias("rep_ratio"),
+        mean_word_length("text").alias("mean_wlen"),
+    )
+
+
+_SQL_TEXT_STATS = """
+SELECT doc_id,
+  CASE WHEN len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) > 0
+       THEN round(1.0 - len(list_distinct(list_filter(string_split(text, chr(10)),
+                                                      x -> trim(x) <> '')))
+                  * 1.0 / len(list_filter(string_split(text, chr(10)),
+                                          x -> trim(x) <> '')), 6)
+       ELSE 0.0 END AS rep_ratio,
+  CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) > 0
+       THEN round(list_sum(list_transform(
+                    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
+                    x -> length(x)))
+                  * 1.0 / len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> x <> '')), 6)
+       ELSE 0.0 END AS mean_wlen
 FROM documents
 """
 
@@ -652,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -687,5 +718,6 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _SQL_TOKENS,
         "lang_id": _langid_sql(),
         "quality_score": _SQL_QUALITY,
+        "text_stats": _SQL_TEXT_STATS,
         "cosine_topk": _SQL_COSINE,
     }

@@ -87,6 +87,29 @@ def quality_score(col: str | Column) -> Column:
     return F.round((0.4 * len_score + 0.3 * punct_score + 0.3 * sw_score), 6)
 
 
+def repetition_ratio(col: str | Column) -> Column:
+    """Duplicate-line fraction: 1 - distinct_lines/lines (the C4-style
+    boilerplate signal).  Native split/array ops, no UDF."""
+    c = _c(col)
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.round(1.0 - F.size(F.array_distinct(lines)) / n, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: str | Column) -> Column:
+    """Average token length — junk detector (too low: symbol soup, too
+    high: minified blobs)."""
+    c = F.trim(_c(col))
+    toks = F.filter(F.split(c, r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0))
+
+
 def fingerprint64(col: str | Column) -> Column:
     """Stable 64-bit document fingerprint of the canonical text."""
     from cwds_jobs_spark.functions.canon import canonical_text_col

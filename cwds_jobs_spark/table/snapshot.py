@@ -249,6 +249,35 @@ class SnapshotTable:
         self._write_snapshot(snap)
         self._snap = snap
 
+    def rebucket(self, new_num_buckets: int, write_tasks_per_bucket: int = 1) -> None:
+        """Rewrite the table into ``new_num_buckets`` hash buckets.
+
+        The growth path for a long-lived table: bucket count is fixed
+        at creation (like Iceberg's ``bucket(N, ...)``), but a table
+        that grows 100x needs proportionally more buckets to keep
+        per-bucket rewrite cost bounded.  Full rewrite, one atomic
+        snapshot swap; ledger and schema history carry over, so
+        in-flight jobs resume cleanly against the new layout.
+        """
+        full = self.read(include_internal=True)
+        snap = {k: (dict(v) if isinstance(v, dict) else v) for k, v in self._snap.items()}
+        snap["version"] = self.version + 1
+        snap["num_buckets"] = int(new_num_buckets)
+        sid = str(snap["current_schema_id"])
+
+        commit_dir = f"data/commit-{snap['version']:09d}-{uuid.uuid4().hex[:8]}"
+        abs_dir = os.path.join(self.path, commit_dir)
+        out = full.withColumn(BUCKET_COL, bucket_expr(new_num_buckets, self.key_cols[0]))
+        n_parts = new_num_buckets * max(1, write_tasks_per_bucket)
+        out = out.repartition(n_parts, F.col(BUCKET_COL))
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(abs_dir)
+        snap["buckets"] = {
+            str(b): {"schema_id": int(sid), "files": files}
+            for b, files in _list_parquet(abs_dir, self.path).items()
+        }
+        self._write_snapshot(snap)
+        self._snap = snap
+
     def record_ledger(self, job_id: str, batch_id: int) -> None:
         """Ledger-only commit (e.g. an empty replayed batch)."""
         snap = dict(self._snap)

@@ -105,3 +105,25 @@ def test_cli_batch_job_roundtrip(spark, ws, tmp_path, monkeypatch):
     sp = json.load(open(os.path.join(ws["state"], "LastJobRun.json")))
     assert sp["job_mode"] == "INCREMENTAL_LOAD"
     assert sp["savepoint_lsn"] == 699
+
+
+def test_rebucket_preserves_state_and_keeps_merging(spark, ws):
+    """Growth path: 4 -> 16 buckets, state identical, later merges land
+    in the new layout."""
+    tbl = SnapshotTable.create(spark, ws["table"], TRANSCRIPTS_SCHEMA, num_buckets=4)
+    events = _apply_windows(spark, tbl, n_windows=3)
+    before = table_state(tbl.read(include_internal=True))
+    tbl.rebucket(16)
+    assert tbl.num_buckets == 16
+    assert table_state(tbl.read(include_internal=True)) == before
+    assert max(bucket_file_counts(tbl)) <= 15  # new bucket id space
+    # ledger survived: replaying an applied batch is still a no-op
+    n = tbl.read().count()
+    from cwds_jobs_spark.synth import synth_changes as sc
+
+    merge_apply(tbl, sc(spark, 300, n_convs=10, start_lsn=600), job_id="cmp", batch_id=2)
+    assert tbl.read().count() == n  # batch 2 was already in the ledger
+    late = sc(spark, 300, n_convs=10, start_lsn=900)
+    events.extend(late.collect())
+    merge_apply(tbl, late, job_id="cmp", batch_id=3)
+    assert_matches(tbl.read(), replay(events))

@@ -194,10 +194,18 @@ def run_scaling(n_events: int, n_small: int = 2, n_big: int = 8) -> dict:
     a real cluster adds memory and disk bandwidth per executor, which
     one box cannot emulate.
     """
-    res = {
-        f"local[{cpus}]": _replay_leg(cpus, n_events)
-        for cpus in (n_small, n_big)
-    }
+    # interleaved best-of-2: the sandbox host's deliverable CPU drifts
+    # +-40% over minutes (shared virtualization), so back-to-back
+    # A/B/A/B with max-per-leg is the lowest-variance estimator that
+    # fits the round budget
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROUNDS", 2))
+    res: dict = {}
+    for _ in range(rounds):
+        for cpus in (n_small, n_big):
+            r = _replay_leg(cpus, n_events)
+            key = f"local[{cpus}]"
+            if key not in res or r["events_per_sec"] > res[key]["events_per_sec"]:
+                res[key] = r
     t_small = res[f"local[{n_small}]"]["events_per_sec"]
     t_big = res[f"local[{n_big}]"]["events_per_sec"]
     ratio = n_big / n_small

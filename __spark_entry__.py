@@ -4,8 +4,11 @@ Each ``queries()`` entry exercises one operator family from
 SURVEY.md §2 (reference citation in each docstring); ``oracle_sql()``
 is the DuckDB-equivalent ANSI SQL over the same parquet views.
 Column names/aliases match pairwise; floats are rounded identically on
-both sides.  Ops that aren't SQL-expressible (minhash/simhash LSH,
-ANN, multimodal) are registered without an oracle → rows-only check.
+both sides.  Ops whose inputs aren't SQL-expressible (xxhash64 shingle
+hashes, simhash signatures, the synthesized CDC tail) use the
+side-file oracle pattern (see the section comment below); only the
+deliberately-approximate ANN variants (ann_lsh, ann_ivf with nprobe <
+n_centroids) remain rows-only.
 """
 
 from __future__ import annotations
@@ -579,18 +582,132 @@ LIMIT 10
 """
 
 
-# ------------------ rows-only ops (not SQL-expressible) ---------------------
+# ---------------- side-file-oracled / rows-only ops -------------------------
+#
+# Side-file oracle pattern: ops whose *inputs* aren't SQL-expressible
+# (xxhash64 shingle hashes, simhash signatures, an engine-synthesized
+# change tail) write their deterministic intermediate to a parquet side
+# file and are re-read from it, so the DuckDB oracle replays the
+# *algorithmic* part (LSH candidate mining + verification, LWW replay)
+# over byte-identical inputs via read_parquet().  The driver compares
+# at sf=0.01 — oracle SQL hardcodes the sf0.01-tagged paths.
+
+import os as _os
+
+_ORACLE_SIDE_DIR = "/tmp/spark_graft_oracle"
+
+
+def _side_path(sf_dir: str, name: str) -> str:
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    return f"{_ORACLE_SIDE_DIR}/{name}-{tag}"
+
 
 def q_minhash_near_dups(spark, sf_dir):
-    from cwds_jobs_spark.operators.doc_dedup import minhash_near_dups
+    """MinHash LSH near-dup mining, verified on hashed shingles.
 
-    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
+    Oracled parameters use bands == num_hashes (r=1): candidate recall
+    at J ≥ 0.5 is 1-(1-J)^16 ≈ 1 - 1.5e-5, so the LSH output equals
+    the exact all-pairs oracle on this corpus; production calls tune
+    (num_hashes, bands) for the corpus-scale recall/cost point.
+    """
+    from cwds_jobs_spark.operators.doc_dedup import (
+        hashed_shingles,
+        near_dups_from_hashed,
+    )
+
+    p = _side_path(sf_dir, "minhash_shingles")
+    hashed_shingles(_t(spark, sf_dir, "documents")).write.mode(
+        "overwrite"
+    ).parquet(p)
+    hdf = spark.read.parquet(p)
+    return near_dups_from_hashed(
+        hdf, threshold=0.5, num_hashes=16, bands=16, max_bucket=100_000
+    )
+
+
+_SQL_MINHASH = """
+WITH s AS (SELECT doc_id, sh
+           FROM read_parquet('/tmp/spark_graft_oracle/minhash_shingles-sf0.01/*.parquet'))
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+) WHERE jaccard >= 0.5
+"""
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    from cwds_jobs_spark.operators.doc_dedup import simhash_near_dups
+    """SimHash near-dup mining (native signature kernel); 8×8-bit
+    chunk banding pigeonhole-guarantees full recall at Hamming ≤ 7,
+    so the mined pairs equal the exact all-pairs Hamming oracle."""
+    from cwds_jobs_spark.operators.doc_dedup import (
+        simhash,
+        simhash_pairs_from_sigs,
+    )
 
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=6)
+    p = _side_path(sf_dir, "simhash_sigs")
+    docs = _t(spark, sf_dir, "documents")
+    simhash(docs.select("doc_id", "text")).select("doc_id", "simhash").write.mode(
+        "overwrite"
+    ).parquet(p)
+    sigs = spark.read.parquet(p)
+    return simhash_pairs_from_sigs(sigs, max_hamming=6, max_bucket=100_000)
+
+
+_SQL_SIMHASH = """
+WITH s AS (SELECT doc_id, simhash
+           FROM read_parquet('/tmp/spark_graft_oracle/simhash_sigs-sf0.01/*.parquet'))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+def q_ann_exact_multiquery(spark, sf_dir):
+    """Exact multi-query top-k: broadcast query block + per-partition
+    GEMM (the brute-force baseline all ANN variants are judged
+    against)."""
+    from cwds_jobs_spark.operators.similarity import topk_for_queries
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return topk_for_queries(emb, qs, k=10)
+
+
+_SQL_ANN_EXACT = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                    e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+) WHERE rn <= 10
+"""
+
+
+def q_ann_ivf_exhaustive(spark, sf_dir):
+    """IVF machinery run with nprobe == n_centroids: scans every cell,
+    so the result must EQUAL exact top-k — a correctness gate for the
+    centroid assignment + cell-join + scoring plumbing."""
+    from cwds_jobs_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return ivf_topk(emb, qs, k=10, n_centroids=8, nprobe=8)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -616,22 +733,66 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    from cwds_jobs_spark.functions.text import fingerprint64
+    """Document fingerprinting (md5-prefix variant with a DuckDB twin;
+    the xxhash64 variant fingerprint64 is the cheaper scale path,
+    exercised in pytest)."""
+    from cwds_jobs_spark.functions.text import fingerprint_hex
 
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", fingerprint64("text").alias("fp64")
+        "doc_id", fingerprint_hex("text").alias("fp_hex")
     )
 
 
+_SQL_FP = r"""
+SELECT doc_id,
+       substr(md5(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp_hex
+FROM documents
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction (binary payload → feature vector
+    via mapInPandas); features emitted as integer millifeature CSV so
+    the harness can sort/hash rows (arrays are unhashable there)."""
     from cwds_jobs_spark.operators.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, 500))
+    feats = extract_features(synth_media(spark, 500))
+    return feats.select(
+        "media_id",
+        "kind",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features", lambda x: F.round(x * 1000).cast("int").cast("string")
+            ),
+        ).alias("feat_str"),
+    )
+
+
+def _multimodal_sql() -> str:
+    """DuckDB twin of synth_media + the fake feature kernel: features
+    are little-endian uint32 reads of the sha256-hex payload bytes,
+    mod 1000 (see operators/multimodal.py:_fake_features)."""
+    feats = []
+    for i in range(16):
+        terms = " + ".join(
+            f"ascii(substr(h, {4 * i + j + 1}, 1)) * {256 ** j}" for j in range(4)
+        )
+        feats.append(f"CAST(({terms}) % 1000 AS VARCHAR)")
+    feat_str = " || ',' || ".join(feats)
+    return f"""
+SELECT id AS media_id,
+       CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       {feat_str} AS feat_str
+FROM (SELECT range AS id, sha256('blob' || CAST(range AS VARCHAR)) AS h FROM range(500))
+"""
 
 
 def q_cdc_merge_replay(spark, sf_dir):
-    """End-to-end engine replay: synthesize a change tail, MERGE it into
-    a fresh snapshot table, return final state (rows-only check)."""
+    """End-to-end engine replay: synthesize a change tail, write it to
+    the oracle side file, MERGE it window-by-window into a fresh
+    snapshot table, return final state.  The DuckDB oracle replays the
+    SAME parquet tail with a row_number() LWW + delete filter."""
     import tempfile
 
     from cwds_jobs_spark.operators.merge import merge_apply
@@ -639,16 +800,33 @@ def q_cdc_merge_replay(spark, sf_dir):
     from cwds_jobs_spark.synth import synth_changes
     from cwds_jobs_spark.table.snapshot import SnapshotTable
 
+    per, nb = 2000, 3
+    # tail content is sf-independent (pure function of lsn), so the
+    # side path is fixed
+    tail_path = f"{_ORACLE_SIDE_DIR}/cdc_tail"
+    synth_changes(spark, per * nb, n_convs=60).write.mode("overwrite").parquet(
+        tail_path
+    )
+    src = spark.read.parquet(tail_path)
+
     d = tempfile.mkdtemp(prefix="cdc_entry_")
     tbl = SnapshotTable.create(spark, d, TRANSCRIPTS_SCHEMA, num_buckets=8)
-    for b in range(3):
-        merge_apply(
-            tbl,
-            synth_changes(spark, 2000, n_convs=60, start_lsn=2000 * b),
-            job_id="entry",
-            batch_id=b,
+    for b in range(nb):
+        win = src.filter(
+            (F.col("lsn") >= per * b) & (F.col("lsn") < per * (b + 1))
         )
+        merge_apply(tbl, win, job_id="entry", batch_id=b)
     return tbl.read()
+
+
+_SQL_CDC_REPLAY = """
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM read_parquet('/tmp/spark_graft_oracle/cdc_tail/*.parquet')
+) WHERE rn = 1 AND op <> 'D'
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -686,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "ann_exact_multiquery": q_ann_exact_multiquery,
+        "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "fingerprint": q_fingerprint,
@@ -720,4 +900,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _SQL_QUALITY,
         "text_stats": _SQL_TEXT_STATS,
         "cosine_topk": _SQL_COSINE,
+        "minhash_near_dups": _SQL_MINHASH,
+        "simhash_near_dups": _SQL_SIMHASH,
+        "ann_exact_multiquery": _SQL_ANN_EXACT,
+        "ann_ivf_exhaustive": _SQL_ANN_EXACT,
+        "fingerprint": _SQL_FP,
+        "multimodal_features": _multimodal_sql(),
+        "cdc_merge_replay": _SQL_CDC_REPLAY,
     }

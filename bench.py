@@ -108,12 +108,22 @@ def run_headline(spark) -> dict[str, float]:
     return out
 
 
-def run_cdc_replay(spark, n_events: int, n_windows: int = REPLAY_WINDOWS) -> dict:
+def run_cdc_replay(
+    spark, n_events: int, n_windows: int = REPLAY_WINDOWS, warmup: bool = True
+) -> dict:
     """Timed end-to-end replay: tail -> canon -> LWW -> MERGE -> commit.
 
     The tail is pre-materialized to parquet (reading the binlog is the
     source side, not the apply path being measured), then applied in
     ``n_windows`` sequential MERGE windows like the incremental loop.
+
+    ``warmup=True`` first runs a small throwaway replay (~2% of the
+    events) through the identical pipeline so classloading + whole-
+    stage-codegen JIT happen OUTSIDE the timed region — the measured
+    number is steady-state throughput, which is what a long-running
+    production driver delivers.  Without it, a cold JVM charges ~4-6 s
+    of one-time compile cost to the first window, a fixed serial cost
+    that poisons small-N scaling legs.
     """
     from cwds_jobs_spark.functions.canon import normalize_turns
     from cwds_jobs_spark.operators.merge import merge_apply
@@ -130,6 +140,22 @@ def run_cdc_replay(spark, n_events: int, n_windows: int = REPLAY_WINDOWS) -> dic
                 spark, per, n_convs=REPLAY_CONVS, start_lsn=per * w,
                 num_partitions=int(CPUS) * 2,
             ).write.parquet(os.path.join(tail_dir, f"w{w}"))
+
+        if warmup:
+            wu_events = max(200_000, n_events // 50)
+            wu_dir = os.path.join(work, "warmup_tail")
+            synth_changes(
+                spark, wu_events, n_convs=max(1, REPLAY_CONVS // 50),
+            ).write.parquet(wu_dir)
+            wu_tbl = SnapshotTable.create(
+                spark, os.path.join(work, "wu_tbl"), TRANSCRIPTS_SCHEMA,
+                num_buckets=64,
+            )
+            merge_apply(
+                wu_tbl, normalize_turns(spark.read.parquet(wu_dir)),
+                job_id="warmup", batch_id=0,
+            )
+            wu_tbl.read().count()
 
         tbl = SnapshotTable.create(
             spark, os.path.join(work, "tbl"), TRANSCRIPTS_SCHEMA, num_buckets=64

@@ -115,3 +115,12 @@ def fingerprint64(col: str | Column) -> Column:
     from cwds_jobs_spark.functions.canon import canonical_text_col
 
     return F.xxhash64(canonical_text_col(_c(col)))
+
+
+def fingerprint_hex(col: str | Column, n_chars: int = 16) -> Column:
+    """md5-prefix fingerprint of the canonical text.  Same role as
+    :func:`fingerprint64` (which is cheaper JVM-side) but with an
+    exact DuckDB twin (``substr(md5(...), 1, n)``) for oracling."""
+    from cwds_jobs_spark.functions.canon import canonical_text_col
+
+    return F.substring(F.md5(canonical_text_col(_c(col))), 1, n_chars)

@@ -128,9 +128,18 @@ def run_multisource_incremental(
         union = windows[0]
         for w in windows[1:]:
             union = union.unionByName(w, allowMissingColumns=True)
-        merge_apply(
+        stats = merge_apply(
             table, union, job_id=job_id, batch_id=batch_id, lineage_dir=lineage_dir
         )
+        if stats.get("skipped"):
+            # replayed batch_id: the table ledger already holds this
+            # batch (a prior run committed the table, then crashed
+            # before the vector write).  The freshly recomputed high
+            # watermarks may cover events that arrived AFTER the
+            # original commit — advancing to them would skip those
+            # events forever.  Keep the vector put; the caller's next
+            # batch_id applies the overlap idempotently.
+            advanced = {}
     # vector commit AFTER the table commit (savepoint-after-durable-write,
     # BatchProcessor.java:56-67)
     for name, hw in advanced.items():

@@ -1,14 +1,16 @@
 """Document deduplication at corpus scale.
 
 Four tiers, all expressed as DataFrame programs (one shuffle each where
-possible; no per-row Python except the SimHash bit-twiddling, which is
-an Arrow-vectorized pandas UDF):
+possible; 100% native column expressions — zero Python on any path):
 
 - exact:      hash-groupBy on canonical text (one shuffle)
-- minhash+LSH: shingle → k minhashes → b bands → bucket join →
-              Jaccard verify on candidates only
-- simhash:    64-bit simhash, banded into 4×16-bit chunks → candidates
-              → Hamming verify (bit_count(xor))
+- minhash+LSH: shingle → hash shingles once → k minhashes → b bands →
+              bucket join → Jaccard verify ON THE HASHED SHINGLES
+              (array<long>, ~5-10× fewer verify-shuffle bytes than the
+              original strings; exact up to 64-bit collisions)
+- simhash:    64-bit simhash as a pure native expression (token
+              xxhash64 + per-bit fold votes), banded into equal-width
+              chunks → candidates → Hamming verify (bit_count(xor))
 - n-gram Jaccard: exact verify used standalone for small candidate sets
 
 Scale notes: candidate generation is always *bucket-local* (groupBy on
@@ -21,12 +23,10 @@ as the CDC salting, applied to near-dup mining.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from cwds_jobs_spark.functions.canon import canonical_text_col
 
@@ -87,8 +87,13 @@ def minhash_signature_from_hashes(hash_col: str, num_hashes: int = 32):
     """
     col = F.col(hash_col)
     empty = F.size(col) == 0
+    # NB: the lambda must take exactly one arg — a second arg (even a
+    # defaulted one) makes PySpark bind it to the array-index column,
+    # silently collapsing the whole hash family to one function.
+    # PySpark invokes the lambda eagerly inside F.transform, so the
+    # loop-variable closure binds the intended i.
     mins = [
-        F.array_min(F.transform(col, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+        F.array_min(F.transform(col, lambda h: F.xxhash64(h, F.lit(int(i)))))
         for i in range(num_hashes)
     ]
     return F.when(empty, F.lit(None)).otherwise(F.array(*mins))
@@ -102,43 +107,57 @@ def minhash_signature(shingle_col: str, num_hashes: int = 32, seed: int = 7):
     empty = F.size(col) == 0
     base = F.transform(col, lambda s: F.xxhash64(s, F.lit(seed)))
     mins = [
-        F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+        F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(int(i)))))
         for i in range(num_hashes)
     ]
     return F.when(empty, F.lit(None)).otherwise(F.array(*mins))
 
 
-def minhash_lsh_candidates(
+def hashed_shingles(
     df: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_n: int = 3,
+    seed: int = 7,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(id, array<long>) distinct hashed shingles — the compact corpus
+    representation shared by candidate generation AND verification.
+    One string pass per doc; everything downstream touches only longs.
+    """
+    return (
+        shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+        .withColumn(out_col, F.array_distinct(shingle_hashes("shingles", seed)))
+        .select(id_col, out_col)
+    )
+
+
+def minhash_lsh_candidates_from_hashes(
+    hdf: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
     num_hashes: int = 32,
     bands: int = 8,
-    shingle_n: int = 3,
     max_bucket: int = 50,
-    seed: int = 7,
-    pre_shingled: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via banded minhash LSH.
+    """Candidate near-dup pairs (id_a < id_b) via banded minhash LSH
+    over a pre-hashed shingle table (see :func:`hashed_shingles`).
 
-    ``pre_shingled=True`` takes ``df`` as ``(id_col, shingles)`` rows
-    (e.g. a cached shingle table) instead of raw text.
+    A pair with Jaccard J becomes a candidate with probability
+    1 - (1 - J^r)^b, r = num_hashes/bands.  With r=1 (bands ==
+    num_hashes) recall at J ≥ 0.5 is 1 - (1-J)^b — effectively
+    complete for b ≥ 16; larger r trades recall at low J for fewer
+    spurious buckets at corpus scale.
     """
     rows_per_band = num_hashes // bands
-    shingled = (
-        df.select(id_col, "shingles")
-        if pre_shingled
-        else shingles(df.select(id_col, text_col), text_col, n=shingle_n)
-    )
     sig = (
-        shingled
-        # separate projections: the string-hash pass materializes once,
-        # the k min-passes then run over longs (CollapseProject keeps
-        # expensive exprs from being duplicated across references)
-        .withColumn("_bh", shingle_hashes("shingles", seed))
-        .withColumn("sig", minhash_signature_from_hashes("_bh", num_hashes))
-        .drop("_bh")
+        hdf
+        # separate projections: the min-passes run over the already-
+        # materialized long arrays (CollapseProject keeps expensive
+        # exprs from being duplicated across references)
+        .withColumn("sig", minhash_signature_from_hashes(hash_col, num_hashes))
         .filter(F.col("sig").isNotNull())
     )
     band_vals = F.array(
@@ -186,100 +205,183 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 50,
+    seed: int = 7,
+) -> DataFrame:
+    """Raw-text convenience wrapper: shingle+hash, then band LSH."""
+    hdf = hashed_shingles(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n, seed=seed
+    )
+    return minhash_lsh_candidates_from_hashes(
+        hdf, id_col=id_col, num_hashes=num_hashes, bands=bands,
+        max_bucket=max_bucket,
+    )
+
+
+def near_dups_from_hashed(
+    hdf: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """LSH candidates over a hashed-shingle table, verified by exact
+    Jaccard ≥ threshold computed ON THE HASHES (array<long> — the
+    verify join ships ~5-10× fewer bytes than string shingle arrays;
+    Jaccard on 64-bit shingle hashes equals string Jaccard up to
+    negligible collisions)."""
+    sh_a = hdf.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a"))
+    sh_b = hdf.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b"))
+    cand = minhash_lsh_candidates_from_hashes(
+        hdf, id_col=id_col, hash_col=hash_col, num_hashes=num_hashes,
+        bands=bands, max_bucket=max_bucket,
+    )
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(ngram_jaccard("sh_a", "sh_b"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    shingle_n: int = 3,
+    seed: int = 7,
     **kw,
 ) -> DataFrame:
-    """LSH candidates verified by exact n-gram Jaccard ≥ threshold.
+    """LSH candidates verified by exact Jaccard ≥ threshold.
 
-    Shingling runs once and is cached for the run: the candidate pass
-    and both sides of the verification join reuse it instead of
-    re-shingling the corpus three times.
+    Shingling+hashing runs once and is cached for the run: the
+    candidate pass and both sides of the verification join reuse the
+    compact hashed form instead of re-shingling the corpus three times.
     """
-    sh = shingles(
-        df.select(id_col, text_col), text_col, n=kw.get("shingle_n", 3)
-    ).select(id_col, "shingles").persist()
+    hdf = hashed_shingles(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n, seed=seed
+    ).persist()
     try:
-        sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-        sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-        cand = minhash_lsh_candidates(sh, id_col=id_col, pre_shingled=True, **kw)
         return (
-            cand.join(sh_a, "id_a")
-            .join(sh_b, "id_b")
-            .withColumn("jaccard", F.round(ngram_jaccard("sh_a", "sh_b"), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-            .localCheckpoint()  # materialize before unpersisting the shingle cache
+            near_dups_from_hashed(
+                hdf, id_col=id_col, threshold=threshold, **kw
+            )
+            .localCheckpoint()  # materialize before unpersisting the cache
         )
     finally:
-        sh.unpersist()
+        hdf.unpersist()
 
 
 # -------------------------------------------------------------- simhash
 
-@pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (Arrow-batched).
+def simhash_col(text_col: str, seed: int = 7):
+    """64-bit SimHash as a pure native column expression — no Python.
 
-    Token hashes use blake2b-8 — deterministic across processes and
-    executors (unlike the salted builtin ``hash``)."""
-    import hashlib
+    tokens = whitespace-split of the lowercased canonical text; each
+    token hashed once with ``xxhash64``; per bit i the vote is
+    ``2·count(tokens with bit i set) − n_tokens`` (one ``aggregate``
+    fold per bit, no array allocation); the signature sets bit i when
+    the vote is positive.  Replaces the round-1 Arrow UDF whose kernel
+    was a per-doc/per-token Python loop (blake2b per token) — this
+    form stays inside whole-stage codegen end-to-end.
+    """
+    toks = F.filter(
+        F.split(F.lower(canonical_text_col(text_col)), r"\s+"),
+        lambda x: x != "",
+    )
+    hs = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    return hs  # finished by _simhash_from_hashes (separate projection)
 
-    shifts = np.arange(64, dtype=np.uint64)
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = t.lower().split()
-        if not toks:
-            continue
-        hs = np.frombuffer(
-            b"".join(
-                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest()
-                for w in toks
-            ),
-            dtype=np.uint64,
+
+def _simhash_from_hashes(hash_col: str):
+    h = F.col(hash_col)
+    n = F.size(h)
+    terms = []
+    for i in range(64):
+        # one-arg-pair lambda only (see minhash_signature_from_hashes);
+        # F.aggregate invokes it eagerly so the loop closure binds i
+        cnt = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.shiftrightunsigned(x, int(i)).bitwiseAND(F.lit(1)).cast("int"),
         )
-        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-        v = bits.sum(axis=0) * 2 - len(toks)
-        sig = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
-        out[i] = np.int64(sig)
-    return pd.Series(out)
+        mask = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = sign bit
+        terms.append(F.when(2 * cnt > n, F.lit(mask)).otherwise(F.lit(0)).cast("long"))
+    sig = functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
+    return F.when(n > 0, sig).otherwise(F.lit(0))
 
 
-def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    return df.withColumn(out_col, _simhash64(canonical_text_col(text_col)))
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash",
+            seed: int = 7) -> DataFrame:
+    # two projections so the token-hash array materializes once and the
+    # 64 bit-folds reference it (CollapseProject would otherwise inline
+    # the tokenize+hash expression 64×)
+    return (
+        df.withColumn("_th", simhash_col(text_col, seed))
+        .withColumn(out_col, _simhash_from_hashes("_th"))
+        .drop("_th")
+    )
 
 
-def simhash_near_dups(
-    df: DataFrame,
+def _pick_chunks(max_hamming: int) -> int:
+    """Smallest chunk count (divisor of 64) whose pigeonhole guarantee
+    covers ``max_hamming``: with c chunks, any pair within Hamming
+    ≤ c-1 shares at least one exact chunk."""
+    for c in (2, 4, 8, 16, 32):
+        if c > max_hamming:
+            return c
+    return 64
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
     *,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    sig_col: str = "simhash",
     max_hamming: int = 3,
     max_bucket: int = 100,
+    n_chunks: int | None = None,
 ) -> DataFrame:
-    """Near-dups by SimHash: band the 64 bits into 4×16-bit chunks —
-    any pair within Hamming ≤ 3 shares at least one exact chunk
-    (pigeonhole) — then verify with bit_count(xor)."""
-    sh = simhash(df.select(id_col, text_col), text_col)
+    """Near-dup pairs from a (id, simhash) table: band the 64 bits
+    into ``n_chunks`` equal chunks — pigeonhole guarantees any pair
+    within Hamming ≤ n_chunks-1 shares an exact chunk — then verify
+    with ``bit_count(xor)``."""
+    if n_chunks is None:
+        n_chunks = _pick_chunks(max_hamming)
+    assert 64 % n_chunks == 0 and n_chunks > max_hamming, (
+        f"n_chunks={n_chunks} cannot guarantee recall at hamming {max_hamming}"
+    )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sh = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("simhash"))
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit(mask))
                 .alias("val"),
             )
-            for c in range(4)
+            for c in range(n_chunks)
         ]
     )
     ex = sh.select(
-        F.col(id_col).alias("id"), F.col("simhash"), F.explode(chunks).alias("cv")
+        "id", F.col("simhash"), F.explode(chunks).alias("cv")
     ).select("id", "simhash", "cv.chunk", "cv.val")
     b = (
         ex.groupBy("chunk", "val")
@@ -310,8 +412,33 @@ def simhash_near_dups(
         )
         .select("p.*")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 100,
+    n_chunks: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Raw-text convenience wrapper: native simhash, then banded
+    candidate mining + Hamming verify (see simhash_pairs_from_sigs)."""
+    sigs = simhash(df.select(id_col, text_col), text_col, seed=seed)
+    return simhash_pairs_from_sigs(
+        sigs.select(id_col, "simhash"),
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        n_chunks=n_chunks,
+    )

@@ -74,6 +74,15 @@ def merge_apply(
     ``drop_deletes=True`` is the initial-load mode: D events are
     filtered out entirely, matching the reference's initial queries
     (jobs-facilities-cws/.../QueryConstants.java:42,50 — ``!= 'D'``).
+
+    ``batch_df`` MUST be deterministic across re-evaluation: the
+    affected-bucket probe and the merge are two separate jobs over it
+    (a file-backed or persisted frame qualifies; anything sampled or
+    wall-clock-dependent does not).  A row that re-evaluates into an
+    unclaimed bucket would still be committed via the per-bucket
+    fallback in ``overwrite_buckets`` but bypasses bucket pruning.
+    Callers on the hot path (runner, streaming driver) pass persisted
+    or parquet-backed windows, so no persist is forced here.
     """
     if batch_id <= table.committed_batch(job_id):
         return {"skipped": True, "batch_id": batch_id, "events": 0}
@@ -156,9 +165,11 @@ def merge_apply(
     return {
         "skipped": False,
         "batch_id": batch_id,
-        # keys now in the rewritten buckets (collected during the
-        # write via observe() — no extra pass)
-        "keys": obs.get["n_keys"],
+        # rows now in the rewritten buckets — batch winners PLUS the
+        # untouched keys that happened to live in the same buckets
+        # (collected during the write via observe(), no extra pass).
+        # NOT the batch event count; use the lineage stats for that.
+        "bucket_rows": obs.get["n_keys"],
         "affected_buckets": len(affected),
         **stats,
     }

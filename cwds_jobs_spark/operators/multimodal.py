@@ -36,12 +36,18 @@ FEATURE_DIM = 16
 
 
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payload from xxhash64)."""
+    """Deterministic fake media table (binary payload from sha2).
+
+    ``kind`` and ``content`` are pure functions of ``media_id`` with
+    DuckDB twins (``id % 3``, ``sha256``) so the feature pipeline can
+    be oracled end-to-end; the remaining metadata columns use xxhash64
+    (cheaper, not part of any oracled projection).
+    """
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.abs(F.xxhash64("id", F.lit(seed))) % 3 + 1).cast("int"),
+            (F.col("id") % 3 + 1).cast("int"),
         ).alias("kind"),
         F.sha2(F.concat(F.lit("blob"), F.col("id").cast("string")), 256)
         .cast("binary")
@@ -104,20 +110,39 @@ def resize_images(df: DataFrame, w: int, h: int, decoder: str = "fake") -> DataF
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, decoder: str = "fake") -> DataFrame:
-    """Video → frame rows (1 row per sampled timestamp)."""
+    """Video → frame rows (1 row per sampled timestamp).
+
+    Frame-timestamp expansion is native (``sequence`` + ``explode`` —
+    codegen, no Python); only the per-frame decode kernel runs in
+    mapInPandas.  The sampled timestamps are the multiples of
+    ``every_ms`` in ``[0, duration_ms)``.
+    """
+    frames = (
+        df.filter(F.col("kind") == "video")
+        .filter(F.coalesce(F.col("duration_ms"), F.lit(0)) > 0)
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("duration_ms") - 1,
+                    F.lit(int(every_ms)).cast("long"),
+                )
+            ).alias("frame_ts_ms"),
+            "content",
+        )
+    )
 
     def run(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in parts:
             if decoder == "real":
                 raise NotImplementedError("ffmpeg frame sampling goes here")
-            rows = {"media_id": [], "frame_ts_ms": [], "frame": []}
-            for _, r in pdf.iterrows():
-                for t in range(0, int(r["duration_ms"] or 0), every_ms):
-                    rows["media_id"].append(r["media_id"])
-                    rows["frame_ts_ms"].append(t)
-                    rows["frame"].append(bytes(r["content"] or b"")[:16])
-            yield pd.DataFrame(rows)
+            out = pdf[["media_id", "frame_ts_ms"]].copy()
+            # stub decode kernel: first 16 payload bytes stand in for
+            # the decoded frame (real kernel is per-item ffmpeg work)
+            out["frame"] = [bytes(b or b"")[:16] for b in pdf["content"]]
+            yield out
 
-    return df.filter(F.col("kind") == "video").mapInPandas(
+    return frames.mapInPandas(
         run, schema="media_id long, frame_ts_ms long, frame binary"
     )

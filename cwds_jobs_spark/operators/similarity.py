@@ -87,13 +87,18 @@ def topk_for_queries(
             out = []
             ids = pdf[id_col].to_numpy()
             for j, qid in enumerate(qids_):
-                top = np.argsort(-sims[:, j])[:k_]
+                # rank on the ROUNDED similarity with id tiebreak so the
+                # partition-level cut agrees with the global window's
+                # (cosine DESC, id ASC) order — sub-1e-6 float noise
+                # collapses into deterministic id-ordered ties
+                r = np.round(sims[:, j], 6)
+                top = np.lexsort((ids, -r))[:k_]
                 out.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
                             id_col: ids[top],
-                            "cosine": np.round(sims[top, j], 6),
+                            "cosine": r[top],
                         }
                     )
                 )
@@ -121,12 +126,19 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """k-means centroids for IVF partitioning, trained driver-side on a
     bounded sample (Lloyd's on ≤``sample`` vectors — training cost is
-    independent of corpus size; assignment below is distributed)."""
-    rows = (
-        corpus.select(vec_col)
-        .limit(sample)
-        .toPandas()[vec_col]
-    )
+    independent of corpus size; assignment below is distributed).
+
+    The sample is a seeded uniform ``df.sample`` (deterministic for a
+    fixed seed + partition layout), NOT ``limit`` — a limit takes the
+    first rows of whatever partition ordering Spark yields, which on a
+    sorted/clustered corpus produces biased centroids.
+    """
+    n = corpus.count()
+    frac = 1.0 if n <= sample else min(1.0, (1.5 * sample) / n)
+    sampled = corpus.select(vec_col)
+    if frac < 1.0:
+        sampled = sampled.sample(withReplacement=False, fraction=frac, seed=seed)
+    rows = sampled.limit(sample).toPandas()[vec_col]
     x = np.vstack(rows.map(np.asarray).to_numpy()).astype(np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -132,6 +132,33 @@ class CdcJobRunner:
         container.job_mode = st.INCREMENTAL_LOAD
         self.sp_svc.write(container)
 
+    def _bound_window(self, pending, cap: int):
+        """Bound a window to ~``cap`` events via a TIMESTAMP-BOUNDARY
+        probe, not a global sort.
+
+        The previous implementation (``orderBy(op_ts, lsn).limit(cap)``)
+        ran a global TakeOrdered over the entire un-applied tail for
+        EVERY capped window — O(windows × tail) re-scan at 10^10 scale.
+        Instead, probe the op_ts quantile at ``cap/total`` (two cheap
+        column-pruned jobs: a metadata-backed count and an
+        approxQuantile sketch) and cut the window at that timestamp.
+        This mirrors the reference's O2/O3 timestamp-boundary probes
+        (SavePointServiceImpl window queries): windows align to op_ts
+        boundaries, equal-timestamp event groups are never split (so a
+        single hot timestamp larger than ``cap`` is applied whole,
+        exactly like the reference's equal-timestamp batch handling).
+        ``cap`` bounds per-MERGE memory approximately; correctness
+        never depends on the exact cut because apply is idempotent LWW.
+        """
+        total = pending.count()
+        if total <= cap:
+            return pending
+        frac = cap / total
+        boundary = pending.select(
+            F.col("op_ts").cast("double").alias("t")
+        ).stat.approxQuantile("t", [frac], 0.01)[0]
+        return pending.filter(F.col("op_ts").cast("double") <= boundary)
+
     def run_incremental(self) -> dict:
         """Apply all pending change windows strictly after the savepoint.
 
@@ -142,32 +169,31 @@ class CdcJobRunner:
         crash replays the window (MERGE is idempotent under replay and
         the ledger short-circuits it — effectively-once, T3).
         """
+        from cwds_jobs_spark.progress import ProgressReporter
+
         tbl = self.table()
         container = self.sp_svc.read()
         assert container is not None, "incremental run requires a savepoint"
         total = {"events": 0, "windows": 0, "mode": st.INCREMENTAL_LOAD}
+        reporter = ProgressReporter()
         while True:
             pending = read_changes(
                 self.spark, self.cfg.changes_dir, after=container.savepoint
             )
             cap = self.cfg.max_events_per_window
             if cap:
-                # take the next `cap` events in (op_ts, lsn) order; the
-                # LWW MERGE does not require count windows to align to
-                # timestamp boundaries (unlike the reference's O2/O3
-                # probes) because apply is set-oriented and keyed.
-                pending = (
-                    pending.orderBy(F.col("op_ts"), F.col("lsn")).limit(cap)
-                )
+                pending = self._bound_window(pending, cap)
             window = pending.persist()
             try:
-                hi = window.agg(
-                    F.max(F.struct(F.col("op_ts"), F.col("lsn"))).alias("m")
-                ).collect()[0]["m"]
+                probe = window.agg(
+                    F.max(F.struct(F.col("op_ts"), F.col("lsn"))).alias("m"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                hi, n_window = probe["m"], int(probe["n"])
                 if hi is None:
                     break  # empty batch terminates (BatchProcessor.java:46-51)
                 batch_id = container.batch_id + 1
-                stats = merge_apply(
+                merge_apply(
                     tbl,
                     window,
                     job_id=self.cfg.job_id,
@@ -177,15 +203,19 @@ class CdcJobRunner:
                 container.savepoint = st.SavePoint(ts=hi["op_ts"], lsn=hi["lsn"])
                 container.batch_id = batch_id
                 self.sp_svc.write(container)
-                # without a lineage dir the exact event count is not
-                # measured (extra pass); fall back to deduped key count
-                n = stats.get("events")
-                total["events"] += stats.get("keys", 0) if n is None else n
+                # events = rows in this window, counted in the same
+                # probe aggregate as the high watermark (one pass over
+                # the persisted window; merge's bucket_rows stat counts
+                # ALL rows in rewritten buckets, which over-counts on a
+                # populated table)
+                total["events"] += n_window
                 total["windows"] += 1
+                reporter.update(n_window)
             finally:
                 window.unpersist()
             if not cap:
                 break  # single full window when uncapped
+        total["events_per_sec"] = reporter.snapshot()["events_per_sec"]
         return total
 
 

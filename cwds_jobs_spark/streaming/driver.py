@@ -78,29 +78,44 @@ def start_cdc_stream(
     def apply_batch(batch_df, epoch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch_df, epoch_id)
-        stats = merge_apply(
-            table,
-            batch_df,
-            job_id=job_id,
-            batch_id=epoch_id,
-            lineage_dir=lineage_dir,
-        )
-        if (
-            maintenance_every
-            and not stats.get("skipped")
-            and epoch_id > 0
-            and epoch_id % maintenance_every == 0
-        ):
-            from pyspark.sql import functions as F
+        # persist: merge_apply runs two jobs over the batch (affected-
+        # bucket probe + merge) — caching guarantees both see the same
+        # rows (determinism contract, see merge_apply docstring) and
+        # stops the file source being scanned twice per micro-batch
+        batch_df = batch_df.persist()
+        try:
+            stats = merge_apply(
+                table,
+                batch_df,
+                job_id=job_id,
+                batch_id=epoch_id,
+                lineage_dir=lineage_dir,
+            )
+            if (
+                maintenance_every
+                and not stats.get("skipped")
+                and epoch_id > 0
+                and epoch_id % maintenance_every == 0
+            ):
+                from pyspark.sql import functions as F
 
-            from cwds_jobs_spark.operators.merge import compact_tombstones
-            from cwds_jobs_spark.table.maintenance import compact_buckets
+                from cwds_jobs_spark.operators.merge import compact_tombstones
+                from cwds_jobs_spark.table.maintenance import (
+                    compact_buckets,
+                    vacuum,
+                )
 
-            wm = batch_df.agg(F.max("op_ts")).collect()[0][0]
-            if wm is not None:
-                lateness = allowed_lateness or dt.timedelta(hours=1)
-                compact_tombstones(table, wm - lateness)
-            compact_buckets(table, max_files_per_bucket=4)
+                wm = batch_df.agg(F.max("op_ts")).collect()[0][0]
+                if wm is not None:
+                    lateness = allowed_lateness or dt.timedelta(hours=1)
+                    compact_tombstones(table, wm - lateness)
+                compact_buckets(table, max_files_per_bucket=4)
+                # GC superseded commit dirs so a long-running tail's
+                # disk footprint stays bounded (ElasticsearchService.
+                # java:168-179 orphan-index cleanup analog)
+                vacuum(table, keep_snapshots=4)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         src.writeStream.foreachBatch(apply_batch)

@@ -33,7 +33,7 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("session_end", T.TimestampType(), True),
         T.StructField("n_events", T.LongType(), False),
         T.StructField("n_turns", T.LongType(), False),
-        T.StructField("closed_by", T.StringType(), False),  # timeout | final
+        T.StructField("closed_by", T.StringType(), False),  # timeout | gap
     ]
 )
 
@@ -97,16 +97,26 @@ def _session_fn(gap_ms: int):
         open_sess = state.get if state.exists else None
         closed: list[tuple] = []
         for seg in segs:
-            if open_sess is not None and seg[0] - open_sess[1] <= gap_ms:
+            # merge only when the segment is within gap of the open
+            # session on SOME end: an out-of-order (late but within
+            # watermark) segment ending more than gap BEFORE the open
+            # session starts is its own earlier session, matching the
+            # sessionize_batch oracle semantics
+            if open_sess is None:
+                open_sess = seg
+            elif seg[0] - open_sess[1] <= gap_ms and open_sess[0] - seg[1] <= gap_ms:
                 open_sess = (
                     min(open_sess[0], seg[0]),
                     max(open_sess[1], seg[1]),
                     open_sess[2] + seg[2],
                     max(open_sess[3], seg[3]),
                 )
+            elif seg[1] < open_sess[0]:
+                # entirely earlier and beyond gap: closed on arrival,
+                # the (later) open session stays open
+                closed.append(seg)
             else:
-                if open_sess is not None:
-                    closed.append(open_sess)
+                closed.append(open_sess)
                 open_sess = seg
         state.update(open_sess)
         # the still-open session closes when the watermark passes

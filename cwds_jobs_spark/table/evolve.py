@@ -4,7 +4,11 @@ The reference handles schema change only by full reindex (jobs-common/
 .../elastic/ElasticsearchService.java:74-91 creates a fresh index from
 the current mapping; the alias swap publishes it).  The new engine does
 in-place evolution instead, Iceberg-style: added columns null-fill old
-data; numeric types widen (int→long, float→double); anything else is
+data; numeric types widen (int→long, float→double); struct payloads
+evolve recursively (new nested fields append, nested numerics widen —
+the reference's sink documents are deeply nested JSON, e.g.
+jobs-facilities-cws/src/test/resources/fixtures/cwsrs_new_facility.json);
+array element types evolve by the same rules; anything else is
 rejected loudly.
 """
 
@@ -32,12 +36,38 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
+def merge_types(name: str, cur: T.DataType, inc: T.DataType) -> T.DataType:
+    """Unify two column types under the evolution rules; raises
+    SchemaEvolutionError for anything that isn't equal, widenable, or
+    a recursively-evolvable struct/array."""
+    if cur == inc:
+        return cur
+    if isinstance(cur, T.StructType) and isinstance(inc, T.StructType):
+        return merge_schemas(cur, inc)
+    if isinstance(cur, T.ArrayType) and isinstance(inc, T.ArrayType):
+        el = merge_types(f"{name}[]", cur.elementType, inc.elementType)
+        return T.ArrayType(el, cur.containsNull or inc.containsNull)
+    if isinstance(cur, T.MapType) and isinstance(inc, T.MapType):
+        k = merge_types(f"{name}<key>", cur.keyType, inc.keyType)
+        v = merge_types(f"{name}<value>", cur.valueType, inc.valueType)
+        return T.MapType(k, v, cur.valueContainsNull or inc.valueContainsNull)
+    key = (cur.typeName(), inc.typeName())
+    if key in _WIDEN:
+        return _WIDEN[key]
+    raise SchemaEvolutionError(
+        f"cannot evolve column {name!r}: "
+        f"{cur.simpleString()} -> {inc.simpleString()}"
+    )
+
+
 def merge_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType:
     """Current schema ∪ incoming schema with widening; stable field order.
 
     Existing fields keep their position; brand-new incoming fields are
-    appended in incoming order.  Result is ``current`` itself when
-    nothing changed (callers compare identity-ish via equality).
+    appended in incoming order.  Applies recursively inside struct
+    payload columns (nested field-add + widening).  Result is
+    ``current`` itself when nothing changed (callers compare
+    identity-ish via equality).
     """
     cur = {f.name: f for f in current.fields}
     out: list[T.StructField] = []
@@ -46,14 +76,8 @@ def merge_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType
         if inc is None or inc.dataType == f.dataType:
             out.append(f)
             continue
-        key = (f.dataType.typeName(), inc.dataType.typeName())
-        if key in _WIDEN:
-            out.append(T.StructField(f.name, _WIDEN[key], True))
-        else:
-            raise SchemaEvolutionError(
-                f"cannot evolve column {f.name!r}: "
-                f"{f.dataType.simpleString()} -> {inc.dataType.simpleString()}"
-            )
+        merged_t = merge_types(f.name, f.dataType, inc.dataType)
+        out.append(T.StructField(f.name, merged_t, True))
     for g in incoming.fields:
         if g.name not in cur:
             out.append(T.StructField(g.name, g.dataType, True))

@@ -316,13 +316,45 @@ class SnapshotTable:
         os.replace(ptmp, os.path.join(meta, "_VERSION"))
 
 
+def _align_col(col, src: T.DataType, dst: T.DataType):
+    """Align one column expression to ``dst``, recursing into structs
+    (null-filling newly added nested fields — a plain ``cast`` cannot
+    change struct arity) and arrays; scalars fall back to cast."""
+    if src == dst:
+        return col
+    if isinstance(dst, T.StructType) and isinstance(src, T.StructType):
+        have = {f.name: f for f in src.fields}
+        sub = []
+        for f in dst.fields:
+            if f.name in have:
+                sub.append(
+                    _align_col(col[f.name], have[f.name].dataType, f.dataType)
+                    .alias(f.name)
+                )
+            else:
+                sub.append(F.lit(None).cast(f.dataType).alias(f.name))
+        # preserve NULL structs instead of materializing all-null rows
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            F.struct(*sub)
+        )
+    if isinstance(dst, T.ArrayType) and isinstance(src, T.ArrayType):
+        return F.transform(
+            col, lambda x: _align_col(x, src.elementType, dst.elementType)
+        )
+    return col.cast(dst)
+
+
 def _align(df: DataFrame, target: T.StructType) -> DataFrame:
-    """Null-fill missing columns and cast to the target schema."""
+    """Null-fill missing columns and align/cast to the target schema
+    (recursively for nested struct payloads)."""
     cols = []
     have = {f.name: f for f in df.schema.fields}
     for f in target.fields:
         if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            cols.append(
+                _align_col(F.col(f.name), have[f.name].dataType, f.dataType)
+                .alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)

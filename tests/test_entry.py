@@ -41,7 +41,10 @@ def _rows(pdf):
 def test_oracle_parity(spark, ddb, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF).toPandas()
-    odf = ddb.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    # side-file oracles hardcode the driver's sf0.01 tag (the scale the
+    # external gate compares at); this suite runs sf0.001 — retag
+    sql = entry_mod.oracle_sql()[name].replace("-sf0.01/", "-sf0.001/")
+    odf = ddb.execute(sql).fetchdf()
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"column mismatch: {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     )

@@ -127,3 +127,60 @@ def test_rebucket_preserves_state_and_keeps_merging(spark, ws):
     events.extend(late.collect())
     merge_apply(tbl, late, job_id="cmp", batch_id=3)
     assert_matches(tbl.read(), replay(events))
+
+
+def test_vacuum_reclaims_superseded_commits(spark, ws):
+    """GC: superseded commit-* dirs are removed, retained snapshots'
+    files survive, table state is unchanged for readers."""
+    import glob
+
+    from cwds_jobs_spark.table.maintenance import vacuum
+
+    tbl = SnapshotTable.create(spark, ws["table"], TRANSCRIPTS_SCHEMA, num_buckets=4)
+    events = _apply_windows(spark, tbl, n_windows=5)
+    before_state = table_state(tbl.read())
+    stats0 = table_file_stats(tbl)
+    n_dirs_before = len(glob.glob(os.path.join(ws["table"], "data", "commit-*")))
+    disk_before = sum(
+        os.path.getsize(p)
+        for p in glob.glob(
+            os.path.join(ws["table"], "data", "commit-*", "*", "*.parquet")
+        )
+    )
+
+    out = vacuum(tbl, keep_snapshots=1)
+    assert out["removed_files"] > 0 and out["removed_bytes"] > 0
+    assert out["removed_snapshots"] > 0
+
+    disk_after = sum(
+        os.path.getsize(p)
+        for p in glob.glob(
+            os.path.join(ws["table"], "data", "commit-*", "*", "*.parquet")
+        )
+    )
+    assert disk_after < disk_before  # actual disk reclaimed
+    n_dirs_after = len(glob.glob(os.path.join(ws["table"], "data", "commit-*")))
+    assert n_dirs_after < n_dirs_before
+
+    # readers unaffected: same state from the live snapshot, and a
+    # fresh load sees it too
+    assert table_state(tbl.read()) == before_state
+    assert table_state(SnapshotTable.load(spark, ws["table"]).read()) == before_state
+    assert table_file_stats(tbl)["files"] == stats0["files"]
+    assert_matches(tbl.read(), replay(events))
+
+    # vacuum is idempotent
+    again = vacuum(tbl, keep_snapshots=1)
+    assert again["removed_files"] == 0
+
+
+def test_vacuum_then_merge_continues(spark, ws):
+    from cwds_jobs_spark.table.maintenance import vacuum
+
+    tbl = SnapshotTable.create(spark, ws["table"], TRANSCRIPTS_SCHEMA, num_buckets=4)
+    events = _apply_windows(spark, tbl, n_windows=3)
+    vacuum(tbl, keep_snapshots=1)
+    late = synth_changes(spark, 300, n_convs=10, start_lsn=900)
+    events.extend(late.collect())
+    merge_apply(tbl, late, job_id="cmp", batch_id=3)
+    assert_matches(tbl.read(), replay(events))

@@ -72,7 +72,9 @@ def test_incremental_no_new_data_is_noop(spark, ws):
     r.run()
     sp_before = r.sp_svc.read().savepoint
     out = r.run()  # now incremental, tail empty
-    assert out == {"events": 0, "windows": 0, "mode": st.INCREMENTAL_LOAD}
+    assert (out["events"], out["windows"], out["mode"]) == (
+        0, 0, st.INCREMENTAL_LOAD,
+    )
     assert r.sp_svc.read().savepoint.as_tuple() == sp_before.as_tuple()
 
 
@@ -163,18 +165,44 @@ def test_crash_and_resume_incremental(spark, ws):
 
 
 def test_capped_windows_equal_timestamp_safe(spark, ws):
-    """Equal-ts events split across capped windows still converge: the
-    set-oriented MERGE does not need the reference's never-split-a-
-    timestamp boundary alignment (O2/O3) for correctness."""
-    ev = synth_changes(spark, 300, n_convs=8, ts_group=10)  # heavy ts sharing
+    """Capped incremental windows cut at TIMESTAMP boundaries (the
+    reference's O2/O3 never-split-a-timestamp probes, re-expressed as a
+    quantile boundary probe instead of a global TakeOrdered): a cap
+    smaller than an equal-ts group still applies the group whole, the
+    loop makes progress, and final state converges."""
+    ev = synth_changes(spark, 300, n_convs=8, ts_group=10)  # 10 events/ts
     write_changes_window(ev.filter("lsn < 50"), ws["changes"], "w0")
-    r = _runner(spark, ws, max_events_per_window=7)  # pathological cap
+    r = _runner(spark, ws, max_events_per_window=7)  # cap < ts-group size
     r.run()  # initial on first 50
     write_changes_window(ev.filter("lsn >= 50"), ws["changes"], "w1")
     out = r.run()
-    assert out["events"] == 250 and out["windows"] >= 36
+    # 250 pending events over 25 distinct timestamps; each window takes
+    # >= 1 whole ts group (boundary probe never splits a group)
+    assert out["events"] == 250
+    assert 2 <= out["windows"] <= 25
     expected = replay(
         [e for e in ev.collect() if e.lsn < 50 and e.op != "D"]
         + [e for e in ev.collect() if e.lsn >= 50]
     )
     assert_matches(r.table().read(), expected)
+
+
+def test_capped_window_plan_has_no_global_sort(spark, ws):
+    """The capped path must not TakeOrdered/Sort the pending tail."""
+    ev = synth_changes(spark, 300, n_convs=8, ts_group=10)
+    write_changes_window(ev, ws["changes"], "w0")
+    r = _runner(spark, ws, max_events_per_window=50)
+    from cwds_jobs_spark.sources.changes import read_changes
+
+    pending = read_changes(spark, ws["changes"])
+    window = r._bound_window(pending, 50)
+    plan = window._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    assert "Sort" not in plan
+    # and it really is a timestamp-boundary cut holding >= 1 ts group
+    n = window.count()
+    assert 0 < n <= 300
+    boundary_ts = window.agg(F.max("op_ts")).collect()[0][0]
+    full_group = ev.filter(F.col("op_ts") == F.lit(boundary_ts)).count()
+    in_window = window.filter(F.col("op_ts") == F.lit(boundary_ts)).count()
+    assert in_window == full_group  # group not split

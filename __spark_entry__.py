@@ -710,6 +710,32 @@ def q_ann_ivf_exhaustive(spark, sf_dir):
     return ivf_topk(emb, qs, k=10, n_centroids=8, nprobe=8)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup PAIR mining (LSH-bucketed self-join
+    candidates + exact native cosine verify); params chosen for
+    effectively-exact recall at this threshold, so the result equals
+    the O(n²) DuckDB oracle."""
+    from cwds_jobs_spark.operators.similarity import embedding_near_dups
+
+    # threshold 0.4 yields ~59 true pairs on this corpus (max pair
+    # cosine is 0.513 — the synthetic embeddings carry no planted
+    # dups); 2-bit × 24-table LSH puts miss probability per true pair
+    # at ~5e-6, so the mined set equals the exact O(n²) oracle
+    return embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=2, num_tables=24
+    )
+
+
+_SQL_EMB_DUPS = """
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     from cwds_jobs_spark.operators.similarity import lsh_bucketed_topk
 
@@ -785,6 +811,48 @@ SELECT id AS media_id,
        CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        {feat_str} AS feat_str
 FROM (SELECT range AS id, sha256('blob' || CAST(range AS VARCHAR)) AS h FROM range(500))
+"""
+
+
+_PAGED_N_PAGES, _PAGED_PER = 20, 50
+
+
+def _paged_fetch(p: int) -> list[tuple]:
+    """Deterministic fake numbered-page API (stands in for the
+    reference's Perry/Cognito user pages, IdmServiceImpl.java:68-75)."""
+    if p >= _PAGED_N_PAGES:
+        return []
+    return [
+        (p * _PAGED_PER + i, f"user_{p:03d}_{i:03d}", p)
+        for i in range(_PAGED_PER)
+    ]
+
+
+def q_paged_source(spark, sf_dir):
+    """S6: REST-style paginated source — numbered-page fetches run
+    distributed on executors via mapInPandas (sources/paged.py), the
+    Spark-native reader thread pool."""
+    from pyspark.sql import types as T
+
+    from cwds_jobs_spark.sources.paged import read_indexed_paged
+
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("page", T.IntegerType(), False),
+        ]
+    )
+    return read_indexed_paged(
+        spark, _paged_fetch, schema, n_pages=_PAGED_N_PAGES, tasks=8
+    )
+
+
+_SQL_PAGED = """
+SELECT (p.range * 50 + i.range) AS uid,
+       printf('user_%03d_%03d', p.range, i.range) AS name,
+       CAST(p.range AS INTEGER) AS page
+FROM range(20) p, range(50) i
 """
 
 
@@ -866,10 +934,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_exact_multiquery": q_ann_exact_multiquery,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+        "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "paged_source": q_paged_source,
         "cdc_merge_replay": q_cdc_merge_replay,
     }
 
@@ -904,7 +974,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _SQL_SIMHASH,
         "ann_exact_multiquery": _SQL_ANN_EXACT,
         "ann_ivf_exhaustive": _SQL_ANN_EXACT,
+        "embedding_near_dups": _SQL_EMB_DUPS,
         "fingerprint": _SQL_FP,
         "multimodal_features": _multimodal_sql(),
+        "paged_source": _SQL_PAGED,
         "cdc_merge_replay": _SQL_CDC_REPLAY,
     }

@@ -89,3 +89,42 @@ def test_exact_dedup_single_shuffle(spark):
     plan = _formatted(entry.q_exact_dedup_docs(spark, SF))
     assert plan.count("Exchange") <= 2  # hash agg + AQE reuse at most
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_simhash_plan_is_fully_native(spark):
+    """The rewritten simhash kernel must stay JVM-side: no Python/Arrow
+    eval nodes anywhere in the signature plan."""
+    from cwds_jobs_spark.operators.doc_dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(simhash(docs.select("doc_id", "text")))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_minhash_verify_ships_hashed_shingles(spark):
+    """The near-dup verify join must carry array<long> shingle hashes,
+    never the original string shingle arrays."""
+    from cwds_jobs_spark.operators.doc_dedup import (
+        hashed_shingles,
+        near_dups_from_hashed,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hdf = hashed_shingles(docs)
+    out = near_dups_from_hashed(hdf, threshold=0.5, num_hashes=16, bands=16)
+    # join inputs are (id, array<bigint>) — schema check on the verify
+    # sides via the analyzed plan
+    plan = _formatted(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert dict(hdf.dtypes)["sh"] == "array<bigint>"
+
+
+def test_embedding_near_dups_plan_native(spark):
+    from cwds_jobs_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _formatted(embedding_near_dups(emb, threshold=0.9, num_tables=2))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # bucketed join, not cross

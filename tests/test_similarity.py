@@ -116,3 +116,30 @@ def test_ivf_assignment_covers_corpus(spark, emb):
     assert assigned.count() == emb.count()
     cells = [r.ivf_cell for r in assigned.select("ivf_cell").distinct().collect()]
     assert all(0 <= c < 8 for c in cells) and len(cells) >= 4
+
+
+def test_embedding_near_dups_exact_vs_numpy(spark, emb):
+    from cwds_jobs_spark.operators.similarity import embedding_near_dups
+
+    rows = emb.collect()
+    m = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    sims = (m / n[:, None]) @ (m / n[:, None]).T
+    thr = 0.4  # max pair cosine in this corpus is ~0.5 (no planted dups)
+    truth = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = round(float(sims[i, j]), 6)
+            if c >= thr:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                truth[(a, b)] = c
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups(emb, threshold=thr, num_tables=24).collect()
+    }
+    assert len(got) > 10  # non-vacuous check on this corpus
+    assert set(got) == set(truth)  # LSH params give full recall here
+    for p in got:
+        assert abs(got[p] - truth[p]) < 1e-5

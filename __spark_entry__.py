@@ -562,6 +562,60 @@ FROM documents
 """
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Composed training-corpus cleaning pipeline: keep a document iff
+    it is (a) the keeper of its exact-dup group (min doc_id over the
+    canonical-text hash), (b) quality ≥ 0.5, (c) predicted English,
+    (d) 10..5000 whitespace tokens.  One scan + one aggregate + one
+    semi-join — the filters fuse into the scan projection."""
+    from cwds_jobs_spark.functions.canon import canonical_text_col
+    from cwds_jobs_spark.functions.text import lang_id, quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    keepers = (
+        d.select(
+            F.md5(canonical_text_col("text")).alias("h"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = token_count("text")
+    return (
+        d.filter(
+            (quality_score("text") >= 0.5)
+            & (lang_id("text") == "en")
+            & (toks >= 10)
+            & (toks <= 5000)
+        )
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id", F.col("lang").alias("lang_given"))
+    )
+
+
+def _corpus_filter_sql() -> str:
+    lang_case = _langid_sql().split("doc_id, lang AS lang_given, ")[1].split(
+        " AS lang_pred"
+    )[0]
+    quality = _SQL_QUALITY.split("SELECT doc_id,")[1].split("AS quality")[0]
+    toks = (
+        "(CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    )
+    return f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+)
+SELECT d.doc_id, d.lang AS lang_given
+FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+WHERE ({quality}) >= 0.5
+  AND ({lang_case}) = 'en'
+  AND {toks} BETWEEN 10 AND 5000
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k vs the vec_id=0 embedding."""
     from cwds_jobs_spark.operators.similarity import brute_force_topk
@@ -817,15 +871,19 @@ FROM (SELECT range AS id, sha256('blob' || CAST(range AS VARCHAR)) AS h FROM ran
 _PAGED_N_PAGES, _PAGED_PER = 20, 50
 
 
-def _paged_fetch(p: int) -> list[tuple]:
+def _make_paged_fetch():
     """Deterministic fake numbered-page API (stands in for the
-    reference's Perry/Cognito user pages, IdmServiceImpl.java:68-75)."""
-    if p >= _PAGED_N_PAGES:
-        return []
-    return [
-        (p * _PAGED_PER + i, f"user_{p:03d}_{i:03d}", p)
-        for i in range(_PAGED_PER)
-    ]
+    reference's Perry/Cognito user pages, IdmServiceImpl.java:68-75).
+    Returned as a NESTED function so cloudpickle ships it by value —
+    executors never need this module importable."""
+    n_pages, per = _PAGED_N_PAGES, _PAGED_PER
+
+    def fetch(p: int) -> list[tuple]:
+        if p >= n_pages:
+            return []
+        return [(p * per + i, f"user_{p:03d}_{i:03d}", p) for i in range(per)]
+
+    return fetch
 
 
 def q_paged_source(spark, sf_dir):
@@ -844,7 +902,7 @@ def q_paged_source(spark, sf_dir):
         ]
     )
     return read_indexed_paged(
-        spark, _paged_fetch, schema, n_pages=_PAGED_N_PAGES, tasks=8
+        spark, _make_paged_fetch(), schema, n_pages=_PAGED_N_PAGES, tasks=8
     )
 
 
@@ -929,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "text_stats": q_text_stats,
+        "corpus_filter": q_corpus_filter,
         "cosine_topk": q_cosine_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
@@ -969,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _langid_sql(),
         "quality_score": _SQL_QUALITY,
         "text_stats": _SQL_TEXT_STATS,
+        "corpus_filter": _corpus_filter_sql(),
         "cosine_topk": _SQL_COSINE,
         "minhash_near_dups": _SQL_MINHASH,
         "simhash_near_dups": _SQL_SIMHASH,

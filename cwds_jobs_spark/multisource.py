@@ -12,7 +12,9 @@ skipped (AbstractCapUsersJob.java:30-50).
 
 Here each source is a changes directory with its own ``(op_ts, lsn)``
 savepoint; events are unioned by name and applied through the same
-idempotent MERGE.  A source whose read/plan fails contributes nothing
+idempotent MERGE.  REST-style paginated sources (the reference's
+Perry/Cognito side) become snapshot DataFrames via
+``sources.paged`` and union in the same way.  A source whose read/plan fails contributes nothing
 to the window and its savepoint entry stays put — the next run replays
 it (the MERGE absorbs any overlap, so at-least-once per source is
 still exactly-once table state).
@@ -113,10 +115,7 @@ def run_multisource_incremental(
             if hw is None or not (sp < hw):
                 stats_events[name] = 0
                 continue  # nothing new; savepoint stays
-            pending = read_changes(spark, cdir, after=sp).filter(
-                (F.col("op_ts") < F.lit(hw.ts))
-                | ((F.col("op_ts") == F.lit(hw.ts)) & (F.col("lsn") <= F.lit(hw.lsn)))
-            )
+            pending = read_changes(spark, cdir, after=sp, until=hw)
             windows.append(pending)
             advanced[name] = hw
         except Exception:

@@ -33,13 +33,25 @@ def savepoint_predicate(sp: SavePoint):
     )
 
 
+def savepoint_upper_bound(sp: SavePoint):
+    """Inclusive ``(op_ts, lsn) <= bound`` — the reference's optional
+    ``< :before`` window leg (AUD/NsAuditEventDao.java:35-36) and the
+    multi-source pre-run high-watermark cap."""
+    ts = F.lit(sp.ts)
+    return (F.col("op_ts") < ts) | (
+        (F.col("op_ts") == ts) & (F.col("lsn") <= F.lit(sp.lsn))
+    )
+
+
 def read_changes(
     spark: SparkSession,
     changes_dir: str,
     after: SavePoint | None = None,
+    until: SavePoint | None = None,
     schema: T.StructType | None = None,
 ) -> DataFrame:
-    """Batch snapshot of the tail strictly after a savepoint."""
+    """Batch snapshot of the tail strictly after ``after`` and (when
+    given) up to ``until`` inclusive — a closed change window."""
     df = (
         spark.read.option("recursiveFileLookup", "true")
         .option("mergeSchema", "true")
@@ -51,6 +63,8 @@ def read_changes(
     )
     if after is not None:
         df = df.filter(savepoint_predicate(after))
+    if until is not None:
+        df = df.filter(savepoint_upper_bound(until))
     return df
 
 

@@ -184,6 +184,23 @@ class SnapshotTable:
                 out = out.drop(*internal)
         return out
 
+    def lookup(self, key_value) -> DataFrame:
+        """Point read of one key: prunes the scan to the single bucket
+        the key hashes into (the engine analog of the reference's
+        per-id entity fetch, ChangedEntityService.java:11-20 — but the
+        plan reads 1/num_buckets of the table, not an index probe).
+        """
+        row = (
+            self.spark.createDataFrame(
+                [(key_value,)], f"{self.key_cols[0]} string"
+            )
+            .select(self.bucket_of().alias("b"))
+            .collect()[0]
+        )
+        return self.read([int(row["b"])]).filter(
+            F.col(self.key_cols[0]) == key_value
+        )
+
     # ---------------- write / commit ----------------
 
     def overwrite_buckets(

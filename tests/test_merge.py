@@ -127,3 +127,58 @@ def test_lineage_per_partition_metrics(spark, ws):
     assert sum(r.events_applied for r in lin) == 1000
     assert max(r.max_lsn for r in lin) == 999
     assert len({r.partition_id for r in lin}) >= 2
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, ws):
+    """S7 analog: SnapshotTable.lookup reads exactly one bucket."""
+    from cwds_jobs_spark.schema import TRANSCRIPTS_SCHEMA
+    from cwds_jobs_spark.synth import synth_changes
+    from cwds_jobs_spark.table.snapshot import SnapshotTable
+
+    tbl = SnapshotTable.create(spark, ws["table"], TRANSCRIPTS_SCHEMA, num_buckets=8)
+    ev = synth_changes(spark, 500, n_convs=25)
+    merge_apply(tbl, ev, job_id="pl", batch_id=0)
+    key = tbl.read().select("conv_id").first()[0]
+    got = sorted(
+        (r.conv_id, r.turn_idx) for r in tbl.lookup(key).collect()
+    )
+    want = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in tbl.read().filter(F.col("conv_id") == key).collect()
+    )
+    assert got == want and got
+    # plan proof: the lookup scan reads 1/8 of the table's files
+    n_files_lookup = len(
+        tbl._snap["buckets"][
+            str(
+                spark.createDataFrame([(key,)], "conv_id string")
+                .select(tbl.bucket_of().alias("b")).collect()[0]["b"]
+            )
+        ]["files"]
+    )
+    total_files = sum(len(e["files"]) for e in tbl._snap["buckets"].values())
+    assert n_files_lookup < total_files
+
+
+def test_read_changes_until_bound(spark, ws):
+    """Closed change window: (after, until] — the reference's
+    `< :before` leg + multisource watermark cap."""
+    import os as _os
+
+    from cwds_jobs_spark.sources.changes import read_changes
+    from cwds_jobs_spark.state import SavePoint
+    from cwds_jobs_spark.synth import synth_changes
+
+    ev = synth_changes(spark, 400, n_convs=10)
+    ev.write.mode("overwrite").parquet(_os.path.join(ws["changes"], "w0"))
+    rows = sorted(ev.collect(), key=lambda r: (r.op_ts, r.lsn))
+    lo, hi = rows[99], rows[299]
+    out = read_changes(
+        spark,
+        ws["changes"],
+        after=SavePoint(ts=lo.op_ts, lsn=lo.lsn),
+        until=SavePoint(ts=hi.op_ts, lsn=hi.lsn),
+    )
+    got = sorted((r.op_ts, r.lsn) for r in out.collect())
+    want = [(r.op_ts, r.lsn) for r in rows[100:300]]
+    assert got == want

@@ -89,3 +89,75 @@ def test_batch_oracle_agrees_on_closed_sessions(spark, ws):
                 T0 + dt.timedelta(minutes=120))] == (1, 3)
     assert out[("B", T0, T0 + dt.timedelta(minutes=2))] == (3, 3)
     assert len(out) == 5  # incl. open-ended C and D singletons
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing _session_fn."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def _pdf(events):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(events),
+            "op_ts": [pd.Timestamp(ms, unit="ms") for ms, _ in events],
+            "turn_idx": [t for _, t in events],
+        }
+    )
+
+
+def test_late_segment_before_open_session_closes_separately():
+    """A late (but in-watermark) segment ending more than gap BEFORE
+    the open session must close as its own earlier session — not be
+    absorbed (round-1 bug: the merge condition only checked one end).
+    """
+    from cwds_jobs_spark.streaming.sessionize import _session_fn
+
+    gap_ms = 60_000
+    fn = _session_fn(gap_ms)
+    # open session at [1_000_000, 1_010_000]
+    st = _FakeState((1_000_000, 1_010_000, 3, 5))
+    # late segment [100_000, 110_000]: ends 890s before the open start
+    out = list(fn(("c",), [_pdf([(100_000, 1), (110_000, 2)])], st))
+    assert len(out) == 1
+    emitted = out[0]
+    assert emitted["closed_by"].tolist() == ["gap"]
+    assert int(emitted["session_start"][0].value // 1_000_000) == 100_000
+    assert int(emitted["session_end"][0].value // 1_000_000) == 110_000
+    # the open session is untouched
+    assert st.get == (1_000_000, 1_010_000, 3, 5)
+
+
+def test_adjacent_late_segment_still_merges():
+    from cwds_jobs_spark.streaming.sessionize import _session_fn
+
+    gap_ms = 60_000
+    fn = _session_fn(gap_ms)
+    st = _FakeState((1_000_000, 1_010_000, 3, 5))
+    # late segment ending 30s before the open start: within gap, merge
+    out = list(fn(("c",), [_pdf([(960_000, 1), (970_000, 2)])], st))
+    assert out == []
+    assert st.get == (960_000, 1_010_000, 5, 5)

@@ -68,6 +68,7 @@ def merge_apply(
     batch_id: int,
     lineage_dir: str | None = None,
     drop_deletes: bool = False,
+    watermark: "tuple | None" = None,
 ) -> dict:
     """Apply one change window; returns per-batch stats.
 
@@ -83,9 +84,28 @@ def merge_apply(
     fallback in ``overwrite_buckets`` but bypasses bucket pruning.
     Callers on the hot path (runner, streaming driver) pass persisted
     or parquet-backed windows, so no persist is forced here.
+
+    ``watermark`` is the window's ``(op_ts, lsn)`` high watermark; it
+    is recorded atomically WITH the ledger entry.  A ledger-skipped
+    replay returns it as ``committed_watermark`` so the caller can
+    restore its savepoint from what was actually committed — the
+    recomputed window on a crash-rerun may be a superset of the
+    committed one (new tail files arrived, approxQuantile cut drift),
+    and advancing the savepoint from it would skip the difference.
     """
     if batch_id <= table.committed_batch(job_id):
-        return {"skipped": True, "batch_id": batch_id, "events": 0}
+        return {
+            "skipped": True,
+            "batch_id": batch_id,
+            "events": 0,
+            "committed_batch": table.committed_batch(job_id),
+            "committed_watermark": table.committed_watermark(job_id),
+        }
+    wm = (
+        {"ts": watermark[0].isoformat(), "lsn": int(watermark[1])}
+        if watermark is not None
+        else None
+    )
 
     if drop_deletes:
         batch_df = batch_df.filter(F.col("op") != OP_DELETE)
@@ -104,7 +124,7 @@ def merge_apply(
         for r in batch_df.select(bucket.alias("b")).distinct().collect()
     )
     if not affected:
-        table.record_ledger(job_id, batch_id)
+        table.record_ledger(job_id, batch_id, watermark=wm)
         return {"skipped": False, "batch_id": batch_id, "events": 0, **stats}
 
     # batch events in table shape + version vector + tombstone flag.
@@ -161,6 +181,7 @@ def merge_apply(
         affected,
         new_schema=merged if evolved else None,
         ledger_update={job_id: batch_id},
+        ledger_watermark={job_id: wm} if wm is not None else None,
     )
     return {
         "skipped": False,

@@ -23,6 +23,7 @@ instead of explicit savepoint file) lives in ``streaming.driver``.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 from dataclasses import dataclass
 
@@ -193,13 +194,37 @@ class CdcJobRunner:
                 if hi is None:
                     break  # empty batch terminates (BatchProcessor.java:46-51)
                 batch_id = container.batch_id + 1
-                merge_apply(
+                stats = merge_apply(
                     tbl,
                     window,
                     job_id=self.cfg.job_id,
                     batch_id=batch_id,
                     lineage_dir=self.cfg.lineage_dir,
+                    watermark=(hi["op_ts"], hi["lsn"]),
                 )
+                if stats.get("skipped"):
+                    # a prior run committed this batch_id to the table
+                    # ledger, then crashed before the savepoint write.
+                    # The window just recomputed is NOT the committed
+                    # one (new tail files may have arrived; a capped
+                    # cut is not reproducible), so restore the
+                    # savepoint from the ledger's recorded watermark —
+                    # advancing from the recomputed window's ``hi``
+                    # would skip everything in the difference forever.
+                    wm = stats.get("committed_watermark")
+                    if wm is not None:
+                        container.savepoint = st.SavePoint(
+                            ts=dt.datetime.fromisoformat(wm["ts"]),
+                            lsn=int(wm["lsn"]),
+                        )
+                    # else: ledger predates watermark recording — keep
+                    # the savepoint put; the next batch_id re-applies
+                    # the overlap idempotently.
+                    container.batch_id = max(
+                        batch_id, stats.get("committed_batch", batch_id)
+                    )
+                    self.sp_svc.write(container)
+                    continue
                 container.savepoint = st.SavePoint(ts=hi["op_ts"], lsn=hi["lsn"])
                 container.batch_id = batch_id
                 self.sp_svc.write(container)

@@ -129,6 +129,19 @@ class SnapshotTable:
     def committed_batch(self, job_id: str) -> int:
         return int(self._snap["ledger"].get(job_id, -1))
 
+    def committed_watermark(self, job_id: str) -> dict | None:
+        """The ``{"ts": iso, "lsn": int}`` high watermark of the last
+        committed batch for ``job_id``, or None.
+
+        Recorded atomically WITH the ledger entry so a crash between
+        table commit and savepoint-file write is recoverable: the
+        rerun's recomputed window is not reproducible (new tail files,
+        approxQuantile rank error), so the savepoint must be restored
+        from what was actually committed, not from the recomputed
+        window's high watermark.
+        """
+        return self._snap.get("ledger_wm", {}).get(job_id)
+
     def bucket_of(self, col: str | None = None):
         return bucket_expr(self.num_buckets, col or self.key_cols[0])
 
@@ -210,6 +223,7 @@ class SnapshotTable:
         *,
         new_schema: T.StructType | None = None,
         ledger_update: dict[str, int] | None = None,
+        ledger_watermark: dict[str, dict] | None = None,
         write_tasks_per_bucket: int = 1,
     ) -> None:
         """Atomically replace ``affected`` buckets with ``df``'s rows.
@@ -263,6 +277,9 @@ class SnapshotTable:
                 snap["buckets"][str(b)] = {"schema_id": int(sid), "files": files}
         for k, v in (ledger_update or {}).items():
             snap["ledger"][k] = int(v)
+        if ledger_watermark:
+            snap["ledger_wm"] = dict(snap.get("ledger_wm", {}))
+            snap["ledger_wm"].update(ledger_watermark)
         self._write_snapshot(snap)
         self._snap = snap
 
@@ -295,12 +312,17 @@ class SnapshotTable:
         self._write_snapshot(snap)
         self._snap = snap
 
-    def record_ledger(self, job_id: str, batch_id: int) -> None:
+    def record_ledger(
+        self, job_id: str, batch_id: int, watermark: dict | None = None
+    ) -> None:
         """Ledger-only commit (e.g. an empty replayed batch)."""
         snap = dict(self._snap)
         snap["version"] = self.version + 1
         snap["ledger"] = dict(snap["ledger"])
         snap["ledger"][job_id] = int(batch_id)
+        if watermark is not None:
+            snap["ledger_wm"] = dict(snap.get("ledger_wm", {}))
+            snap["ledger_wm"][job_id] = watermark
         self._write_snapshot(snap)
         self._snap = snap
 

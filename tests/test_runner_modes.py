@@ -206,3 +206,44 @@ def test_capped_window_plan_has_no_global_sort(spark, ws):
     full_group = ev.filter(F.col("op_ts") == F.lit(boundary_ts)).count()
     in_window = window.filter(F.col("op_ts") == F.lit(boundary_ts)).count()
     assert in_window == full_group  # group not split
+
+
+def test_crash_between_commit_and_savepoint_never_skips_events(spark, ws):
+    """Crash AFTER the table/ledger commit but BEFORE the savepoint
+    write, with new tail files arriving before the restart: the rerun's
+    recomputed window is a strict superset of the committed one.  The
+    ledger skip must restore the savepoint from the COMMITTED window's
+    recorded watermark — advancing from the recomputed window would
+    silently skip the new events forever (round-2 advisory finding)."""
+    w0 = synth_changes(spark, 300, n_convs=10)
+    write_changes_window(w0, ws["changes"], "w0")
+    r = _runner(spark, ws)
+    r.run()  # initial load + cutover; batch_id now 0
+
+    from cwds_jobs_spark.operators.merge import merge_apply
+
+    # window 1 arrives and is applied (table + ledger + watermark
+    # committed) but the process dies before sp_svc.write()
+    w1 = synth_changes(spark, 100, n_convs=10, start_lsn=300)
+    write_changes_window(w1, ws["changes"], "w1")
+    hi1 = max(w1.collect(), key=lambda e: (e.op_ts, e.lsn))
+    merge_apply(
+        r.table(), spark.read.parquet(ws["changes"] + "/w1"),
+        job_id="job1", batch_id=1, watermark=(hi1.op_ts, hi1.lsn),
+    )
+    # new events land BEFORE the restart -> recomputed window superset
+    w2 = synth_changes(spark, 50, n_convs=10, start_lsn=400)
+    write_changes_window(w2, ws["changes"], "w2")
+
+    out = r.run()  # restart: replayed batch skips, then w2 applies
+    assert out["events"] == 50  # ONLY w2 (w1 was already committed)
+    expected = replay(
+        [e for e in w0.collect() if e.op != "D"]
+        + list(w1.collect())
+        + list(w2.collect())
+    )
+    assert_matches(r.table().read(), expected)
+    # savepoint landed at the true high watermark
+    hi2 = max(w2.collect(), key=lambda e: (e.op_ts, e.lsn))
+    assert r.sp_svc.read().savepoint.as_tuple() == (hi2.op_ts, hi2.lsn)
+    assert r.sp_svc.read().batch_id == 2

@@ -774,9 +774,12 @@ def q_embedding_near_dups(spark, sf_dir):
     # threshold 0.4 yields ~59 true pairs on this corpus (max pair
     # cosine is 0.513 — the synthetic embeddings carry no planted
     # dups); 2-bit × 24-table LSH puts miss probability per true pair
-    # at ~5e-6, so the mined set equals the exact O(n²) oracle
+    # at ~5e-6, so the mined set equals the exact O(n²) oracle.
+    # max_bucket is exactness-tuned (never drop a bucket) like the
+    # minhash oracle; corpus-scale calls use the capped default.
     return embedding_near_dups(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=2, num_tables=24
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=2,
+        num_tables=24, max_bucket=1_000_000,
     )
 
 

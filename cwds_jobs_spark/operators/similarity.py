@@ -259,42 +259,42 @@ def _cosine_pair(a_col: str, b_col: str):
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
-def embedding_near_dups(
+def embedding_candidate_pairs(
     corpus: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.9,
     n_bits: int = 2,
     num_tables: int = 16,
     seed: int = 11,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Near-duplicate PAIRS by embedding cosine ≥ threshold.
+    """Candidate near-dup ``(id_a, id_b)`` pairs via random-hyperplane
+    LSH — the COMPACT mining stage: the exploded frame and every
+    shuffle downstream of the signature scan carry only
+    ``(table, bucket, id)``, never the embedding vectors (the round-2
+    version shipped full vectors on both sides of the bucket self-join
+    — O(rows × tables × dim × 2) shuffle bytes, the dominant cost at
+    corpus scale).  Same hashed-compact pattern as
+    ``doc_dedup.minhash_lsh_candidates_from_hashes``.
 
-    Candidate generation is a bucket-local self-join: random-
-    hyperplane signatures put rows into Hamming buckets per table; only
-    same-(table, bucket) pairs are scored — shuffle volume is
-    O(rows × tables), never the O(n²) cross join.  Verification is the
-    exact native cosine.  Recall for cos ≥ t is
-    1 - (1 - p^n_bits)^num_tables with p = 1 - θ(t)/π; the defaults
-    (2 bits × 16 tables) give ≥ 1 - 1e-9 at t = 0.9 — effectively
-    exact, which is what the DuckDB all-pairs oracle checks.  At
-    corpus scale raise ``n_bits`` (finer buckets, more tables) to
-    trade recall for candidate volume.
+    ``max_bucket`` drops degenerate hot buckets (a bucket of B rows
+    expands to B²/2 pairs; with ``n_bits`` too small for the corpus a
+    single bucket approaches n/2^n_bits rows).  Size ``n_bits`` ≈
+    log2(corpus / desired_bucket) and raise ``num_tables`` to buy the
+    recall back.
     """
     dim = len(corpus.select(vec_col).first()[0])
     tables = [_hyperplanes(dim, n_bits, seed + t) for t in range(num_tables)]
     sig = corpus.select(
-        id_col,
-        vec_col,
+        F.col(id_col).alias("id"),
         *[
             signature_col(vec_col, tables[t]).alias(f"sig{t}")
             for t in range(num_tables)
         ],
     )
     exploded = sig.select(
-        id_col,
-        vec_col,
+        "id",
         F.explode(
             F.array(
                 *[
@@ -305,22 +305,72 @@ def embedding_near_dups(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, vec_col, "tb.table", "tb.bucket")
-    a = exploded.select(
-        "table", "bucket",
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-    )
-    b = exploded.select(
-        "table", "bucket",
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-    )
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    ).select("id", "tb.table", "tb.bucket")
+    buckets = (
+        exploded.groupBy("table", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     return (
-        cand.withColumn("cosine", F.round(_cosine_pair("va", "vb"), 6))
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda a: F.transform(
+                                "ids",
+                                lambda b: F.struct(
+                                    a.alias("id_a"), b.alias("id_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bits: int = 2,
+    num_tables: int = 16,
+    seed: int = 11,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate PAIRS by embedding cosine ≥ threshold.
+
+    Candidate generation is bucket-local (``embedding_candidate_pairs``
+    — ids only through the shuffle, hot buckets capped); verification
+    joins each id side back to the single ``(id, vec)`` projection and
+    computes the exact native cosine — vectors are shipped once per
+    verified pair side, proportional to candidates, not to
+    rows × tables.  Candidate volume is O(Σ bucket²) bounded by
+    ``max_bucket``, not an O(n²) cross join.  Recall for cos ≥ t is
+    1 - (1 - p^n_bits)^num_tables with p = 1 - θ(t)/π; the defaults
+    (2 bits × 16 tables) give ≥ 1 - 1e-9 at t = 0.9 — effectively
+    exact on an un-capped corpus, which is what the DuckDB all-pairs
+    oracle checks.  At corpus scale raise ``n_bits`` (finer buckets,
+    more tables) to trade recall for candidate volume.
+    """
+    cand = embedding_candidate_pairs(
+        corpus, id_col=id_col, vec_col=vec_col, n_bits=n_bits,
+        num_tables=num_tables, seed=seed, max_bucket=max_bucket,
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(_cosine_pair("va", "vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -76,7 +76,11 @@ def attach_streaming_progress(spark, reporter: ProgressReporter):
 
     class _L(StreamingQueryListener):
         def __init__(self):
-            self._seen: set = set()
+            # max batchId seen per runId: progress batchIds are
+            # monotonic, so this dedups re-delivered events in O(runs)
+            # memory — an unbounded (runId, batchId) set is a slow
+            # driver leak on exactly the long tails this targets
+            self._max_batch: dict = {}
 
         def onQueryStarted(self, event):
             pass
@@ -84,10 +88,10 @@ def attach_streaming_progress(spark, reporter: ProgressReporter):
         def onQueryProgress(self, event):
             try:
                 p = event.progress
-                key = (str(p.runId), int(p.batchId))
-                if key in self._seen:
+                run, b = str(p.runId), int(p.batchId)
+                if b <= self._max_batch.get(run, -1):
                     return  # progress events can be re-delivered
-                self._seen.add(key)
+                self._max_batch[run] = b
                 reporter.update(int(p.numInputRows))
             except Exception:
                 pass  # progress reporting must never fail the query

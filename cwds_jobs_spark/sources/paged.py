@@ -56,8 +56,16 @@ def read_token_paged(
     spool × page): batches are flushed to a parquet spool and the
     returned DataFrame scans the spool distributed.  ``max_pages``
     bounds runaway/looping APIs.
+
+    The spool for THIS drain is always a fresh per-invocation
+    subdirectory (a caller-supplied ``spool_dir`` reused across runs
+    must not union stale spools from previous drains into the result),
+    and it is removed on the ``max_pages`` failure path.  The caller
+    owns the successful spool's lifetime — it backs the returned
+    DataFrame, so it must outlive every action on it.
     """
-    spool = spool_dir or tempfile.mkdtemp(prefix="paged_src_")
+    root = spool_dir or tempfile.mkdtemp(prefix="paged_src_")
+    spool = os.path.join(root, f"drain-{uuid.uuid4().hex[:8]}")
     os.makedirs(spool, exist_ok=True)
     buf: list[tuple] = []
     token: str | None = None
@@ -68,27 +76,35 @@ def read_token_paged(
         nonlocal buf, n_spools
         if buf:
             spark.createDataFrame(buf, schema).write.mode("overwrite").parquet(
-                os.path.join(spool, f"spool-{n_spools:06d}-{uuid.uuid4().hex[:6]}")
+                os.path.join(spool, f"spool-{n_spools:06d}")
             )
             n_spools += 1
             buf = []
 
     pages_in_buf = 0
-    while True:
-        rows, token = fetch_page(token)
-        buf.extend(rows)
-        n_pages += 1
-        pages_in_buf += 1
-        if pages_in_buf >= pages_per_spool:
-            _flush()
-            pages_in_buf = 0
-        if token is None:
-            break
-        if max_pages is not None and n_pages >= max_pages:
-            raise RuntimeError(
-                f"token-paged source exceeded max_pages={max_pages} "
-                "(looping pagination token?)"
-            )
+    try:
+        while True:
+            rows, token = fetch_page(token)
+            buf.extend(rows)
+            n_pages += 1
+            pages_in_buf += 1
+            if pages_in_buf >= pages_per_spool:
+                _flush()
+                pages_in_buf = 0
+            if token is None:
+                break
+            if max_pages is not None and n_pages >= max_pages:
+                raise RuntimeError(
+                    f"token-paged source exceeded max_pages={max_pages} "
+                    "(looping pagination token?)"
+                )
+    except Exception:
+        # abandon this drain's spool; never leak partial pages into a
+        # reused spool_dir
+        import shutil
+
+        shutil.rmtree(spool, ignore_errors=True)
+        raise
     _flush()
     if n_spools == 0:
         return spark.createDataFrame([], schema)

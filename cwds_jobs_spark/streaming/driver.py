@@ -31,6 +31,32 @@ from cwds_jobs_spark.sources.changes import stream_changes
 from cwds_jobs_spark.table.snapshot import SnapshotTable
 
 
+def _write_progress(lineage_dir: str, job_id: str, snap: dict) -> None:
+    """Atomic rate/ETA sidecar next to the lineage rows (C4 surface)."""
+    import json
+    import os
+    import uuid
+
+    d = os.path.join(lineage_dir, f"job={job_id}")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".progress.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, os.path.join(d, "progress.json"))
+
+
+def read_progress(lineage_dir: str, job_id: str) -> dict | None:
+    """The latest progress snapshot for a job, or None."""
+    import json
+    import os
+
+    p = os.path.join(lineage_dir, f"job={job_id}", "progress.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def start_cdc_stream(
     spark: SparkSession,
     *,
@@ -46,6 +72,8 @@ def start_cdc_stream(
     on_batch=None,
     maintenance_every: int | None = None,
     allowed_lateness: "dt.timedelta | None" = None,
+    reporter=None,
+    total_expected: int | None = None,
 ) -> StreamingQuery:
     """Start (or resume, if the checkpoint exists) the CDC apply stream.
 
@@ -63,7 +91,21 @@ def start_cdc_stream(
     file groups are compacted.  Maintenance is itself an atomic
     snapshot commit, so a crash mid-maintenance is invisible to
     readers.
+
+    Progress (reference C4, JobTimeReport/TimeLeftEstimationProvider
+    analog) is ON BY DEFAULT when ``lineage_dir`` is set: each applied
+    batch feeds a :class:`~cwds_jobs_spark.progress.ProgressReporter`
+    (pass ``total_expected`` for ETA, or a pre-built ``reporter``) and
+    the snapshot — events, events/sec, ETA — is written atomically to
+    ``<lineage_dir>/job=<job_id>/progress.json`` next to the lineage
+    rows.  The feed is synchronous with the batch commit (not the
+    async StreamingQueryListener path, which remains available via
+    ``progress.attach_streaming_progress`` for external monitors), so
+    the file never lags the table state.
     """
+    from cwds_jobs_spark.progress import ProgressReporter
+
+    reporter = reporter or ProgressReporter(total_expected=total_expected)
     if SnapshotTable.exists(table_path):
         table = SnapshotTable.load(spark, table_path)
     else:
@@ -91,6 +133,9 @@ def start_cdc_stream(
                 batch_id=epoch_id,
                 lineage_dir=lineage_dir,
             )
+            if lineage_dir and not stats.get("skipped"):
+                reporter.update(stats.get("events") or 0)
+                _write_progress(lineage_dir, job_id, reporter.snapshot())
             if (
                 maintenance_every
                 and not stats.get("skipped")

@@ -139,6 +139,18 @@ def sessionize_stream(
     op_ts columns (the change tail).  Late events within ``watermark``
     still extend their session; beyond it the session has already
     closed — the documented late-data contract.
+
+    **End-of-drain contract**: only CLOSED sessions are emitted
+    (``closed_by`` ∈ {gap, timeout}).  An ``availableNow`` drain that
+    ends while a conversation is still within ``gap`` of its last
+    event leaves that session OPEN in the keyed state store — it is
+    not lost: the next drain from the same checkpoint resumes it and
+    closes it by gap or timeout.  This is deliberate (an "open" row
+    emitted at drain end would be retracted-by-duplicate when the
+    session later extends, breaking append mode).  For a
+    point-in-time view of the open tail — e.g. a final report after
+    the last drain — use :func:`open_sessions` over the same event
+    directory.
     """
     return (
         events.withWatermark("op_ts", watermark)
@@ -182,4 +194,32 @@ def sessionize_batch(events: DataFrame, gap: dt.timedelta = dt.timedelta(minutes
             (F.max("turn_idx") + 1).cast("long").alias("n_turns"),
         )
         .drop("_sid")
+    )
+
+
+def open_sessions(
+    events: DataFrame,
+    gap: dt.timedelta = dt.timedelta(minutes=30),
+    as_of: "dt.datetime | None" = None,
+) -> DataFrame:
+    """Sessions still OPEN as of ``as_of`` (default: the tail's max
+    op_ts) — the drain-end flush companion to :func:`sessionize_stream`.
+
+    A streaming drain emits only closed sessions (see the end-of-drain
+    contract there); this batch view returns the complement — sessions
+    whose last event is within ``gap`` of ``as_of`` — in
+    ``SESSION_SCHEMA`` shape with ``closed_by='open'``, so
+    ``drain output ∪ open_sessions`` is the complete session set at
+    any point in time.
+    """
+    if as_of is None:
+        as_of = events.agg(F.max("op_ts")).collect()[0][0]
+    if as_of is None:
+        return events.sparkSession.createDataFrame([], SESSION_SCHEMA)
+    cutoff = as_of - gap
+    return (
+        sessionize_batch(events, gap)
+        .filter(F.col("session_end") >= F.lit(cutoff))
+        .withColumn("closed_by", F.lit("open"))
+        .select([f.name for f in SESSION_SCHEMA.fields])
     )

@@ -97,3 +97,31 @@ def test_runner_incremental_reports_rate(spark, ws):
     out = CdcJobRunner(spark, cfg).run()  # incremental
     assert out["events"] == 200
     assert out["events_per_sec"] > 0
+
+
+def test_streaming_driver_writes_progress_sidecar_by_default(spark, ws):
+    """C4 default-on: a drain with lineage_dir set leaves a rate/ETA
+    snapshot at <lineage>/job=<id>/progress.json, fed synchronously
+    from the applied-batch lineage stats."""
+    from cwds_jobs_spark.sources.changes import write_changes_window
+    from cwds_jobs_spark.streaming.driver import read_progress, run_tail_once
+    from cwds_jobs_spark.synth import synth_changes
+
+    ev = synth_changes(spark, 400, n_convs=10)
+    write_changes_window(ev, ws["changes"], "w0")
+    run_tail_once(
+        spark,
+        job_id="pjob",
+        changes_dir=ws["changes"],
+        table_path=ws["table"],
+        checkpoint_dir=ws["checkpoint"],
+        lineage_dir=ws["lineage"],
+        num_buckets=8,
+        total_expected=400,
+    )
+    snap = read_progress(ws["lineage"], "pjob")
+    assert snap is not None
+    assert snap["events"] == 400
+    assert snap["events_per_sec"] > 0
+    assert snap["eta_sec"] == 0.0  # total_expected reached
+    assert snap["pct_done"] == 100.0

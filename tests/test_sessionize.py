@@ -161,3 +161,48 @@ def test_adjacent_late_segment_still_merges():
     out = list(fn(("c",), [_pdf([(960_000, 1), (970_000, 2)])], st))
     assert out == []
     assert st.get == (960_000, 1_010_000, 5, 5)
+
+
+def test_open_sessions_complements_drained_closed_set(spark, ws):
+    """End-of-drain contract: the drain emits only closed sessions;
+    open_sessions() returns exactly the open tail, and the union is
+    the complete batch-oracle session set."""
+    from cwds_jobs_spark.streaming.sessionize import open_sessions
+
+    src = ws["changes"]
+    _write(spark, [
+        _ev("A", 0, 0, 0), _ev("A", 1, 1, 1),      # closes by gap below
+        _ev("A", 2, 120, 2),                        # open at drain end
+        _ev("B", 0, 115, 3), _ev("B", 1, 118, 4),   # open at drain end
+    ], os.path.join(src, "f1"))
+
+    events = (
+        spark.readStream.schema(CHANGES_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(events, gap=dt.timedelta(minutes=30),
+                          watermark="10 minutes")
+        .writeStream.format("memory").queryName("sess_drain")
+        .option("checkpointLocation", ws["checkpoint"])
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    closed = spark.sql("SELECT * FROM sess_drain").collect()
+    # only A's first burst closed (gap split); A@120 and B still open
+    assert {(r.conv_id, r.closed_by) for r in closed} == {("A", "gap")}
+
+    batch = spark.read.schema(CHANGES_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src)
+    still_open = open_sessions(batch, gap=dt.timedelta(minutes=30))
+    got_open = {
+        (r.conv_id, r.n_events, r.closed_by) for r in still_open.collect()
+    }
+    assert got_open == {("A", 1, "open"), ("B", 2, "open")}
+    # union == complete batch session set
+    from cwds_jobs_spark.streaming.sessionize import sessionize_batch
+
+    total = sessionize_batch(batch, gap=dt.timedelta(minutes=30)).count()
+    assert len(closed) + len(got_open) == total

@@ -1027,7 +1027,10 @@ def q_cdc_merge_replay(spark, sf_dir):
 
 
 _SQL_CDC_REPLAY = """
-SELECT conv_id, turn_idx, role, text, tool, ts
+-- CAST(ts): the tail parquet stores TIMESTAMP_MICROS adjusted-to-UTC
+-- (session tz is UTC), which DuckDB types as TIMESTAMPTZ; the Spark
+-- result is the naive UTC wall time — same instant, strip the tz
+SELECT conv_id, turn_idx, role, text, tool, CAST(ts AS TIMESTAMP) AS ts
 FROM (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
                                ORDER BY op_ts DESC, lsn DESC) AS rn

@@ -122,6 +122,18 @@ def _bench_simhash(spark, sf_dir):
     return simhash_near_dups(docs, max_hamming=6, max_bucket=200)
 
 
+def _bench_embdups(spark, sf_dir):
+    from cwds_jobs_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # corpus-scale buckets: n_bits ~ log2(rows / target_bucket) — the
+    # entry query's exactness-tuned 2-bit/24-table/uncapped config is
+    # for the 500-row oracle corpus, quadratic beyond it
+    return embedding_near_dups(
+        emb, threshold=0.4, n_bits=6, num_tables=8, max_bucket=1000
+    )
+
+
 # the near-dup entry queries write oracle side files and use
 # exactness-tuned LSH params (r=1 bands, uncapped buckets) for the
 # 500-doc driver-correctness corpus; the bench times the bare
@@ -130,6 +142,7 @@ def _bench_simhash(spark, sf_dir):
 _HEADLINE_OVERRIDES = {
     "minhash_near_dups": _bench_minhash,
     "simhash_near_dups": _bench_simhash,
+    "embedding_near_dups": _bench_embdups,
 }
 
 
@@ -299,6 +312,26 @@ def _replay_leg(
     return r
 
 
+def _fit_serial(points: list[tuple[int, float]]) -> tuple[float, float, bool]:
+    """Least-squares ``wall = serial + events*per_event`` over
+    ``(events, best_wall_sec)`` points.  Returns (slope, intercept,
+    clamped): a negative intercept — physically impossible serial cost,
+    produced when a large size's wall lands in a slow host window — is
+    rejected and the slope refit through the origin."""
+    n = len(points)
+    sx = sum(p[0] for p in points)
+    sy = sum(p[1] for p in points)
+    sxx = sum(p[0] * p[0] for p in points)
+    sxy = sum(p[0] * p[1] for p in points)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    clamped = intercept < 0
+    if clamped:
+        slope = sxy / sxx
+        intercept = 0.0
+    return slope, intercept, clamped
+
+
 def run_serial_decomposition(cpus: int = 8) -> dict:
     """Per-window serial-cost decomposition (recorded-artifact evidence
     for the north rule's ≥0.8 N→4N criterion on a real cluster).
@@ -313,6 +346,13 @@ def run_serial_decomposition(cpus: int = 8) -> dict:
     so the single-box efficiency ceiling measured here (shared DRAM/
     LLC, see BASELINE.md) — not serial driver work — is what bounds
     the recorded pair efficiency.
+
+    Robustness (round-2 recorded a −15.9 s intercept because one size's
+    single run landed in a slow host window): each size runs in
+    ``reps`` fresh subprocesses and contributes its BEST (minimum)
+    window wall — the least-contaminated observation of a deterministic
+    workload — and a negative fitted intercept is rejected (clamped to
+    0 with the flag recorded) instead of propagated.
     """
     sizes = [
         int(x)
@@ -320,31 +360,54 @@ def run_serial_decomposition(cpus: int = 8) -> dict:
             "SPARK_GRAFT_BENCH_SERIAL_SIZES", "1000000,2000000,4000000,8000000"
         ).split(",")
     ]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_SERIAL_REPS", 2))
     points: list[tuple[int, float]] = []
-    runs = {}
+    runs: dict = {}
     for per_window in sizes:
-        r = _replay_leg(cpus, per_window * 2, windows=2)
-        runs[str(per_window)] = r
-        for wsec in r["window_walls"]:
-            points.append((per_window, wsec))
-    n = len(points)
-    sx = sum(p[0] for p in points)
-    sy = sum(p[1] for p in points)
-    sxx = sum(p[0] * p[0] for p in points)
-    sxy = sum(p[0] * p[1] for p in points)
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = (sy - slope * sx) / n
+        walls: list[float] = []
+        runs[str(per_window)] = []
+        for _ in range(reps):
+            r = _replay_leg(cpus, per_window * 2, windows=2)
+            runs[str(per_window)].append(r)
+            walls.extend(r["window_walls"])
+        points.append((per_window, min(walls)))
+    slope, intercept, clamped = _fit_serial(points)
     return {
         "cpus": cpus,
         "window_sizes": sizes,
-        "points_events_vs_sec": points,
+        "reps_per_size": reps,
+        "points_events_vs_best_sec": points,
         "per_event_usec": round(slope * 1e6, 4),
         "serial_per_window_sec": round(intercept, 3),
+        "intercept_clamped": clamped,
         "serial_fraction_at_1e9_window": round(
             intercept / (intercept + slope * 1e9), 6
         ),
         "runs": runs,
     }
+
+
+# Plausibility gates for a (N, 4N) pair (round-2 recorded a 1.571
+# "efficiency" when the 2-core leg hit a slow host window while the
+# 8-core leg ran clean — physically impossible, yet the max-of-rounds
+# estimator accepted it and stopped sampling on it):
+#   - efficiency above 1.0 (+noise margin) means the legs did not see
+#     comparable host conditions; the pair is evidence of drift, not
+#     scaling.
+#   - canaries measure single-thread host speed immediately before
+#     each leg; legs whose canaries disagree by >35% straddled a host
+#     fast/slow transition and are not a valid pair either.
+_EFF_CEILING = 1.05
+_CANARY_TOL = 0.35
+
+
+def _pair_rejection(eff: float, c_small: float, c_big: float) -> str | None:
+    if eff > _EFF_CEILING:
+        return f"efficiency {eff} > {_EFF_CEILING} (physically impossible)"
+    lo, hi = sorted((c_small, c_big))
+    if lo > 0 and (hi - lo) / lo > _CANARY_TOL:
+        return f"canary mismatch {c_small}s vs {c_big}s (> {_CANARY_TOL:.0%})"
+    return None
 
 
 def run_scaling(n_events: int, n_small: int = 2, n_big: int = 8) -> dict:
@@ -361,11 +424,14 @@ def run_scaling(n_events: int, n_small: int = 2, n_big: int = 8) -> dict:
     Estimator: the host's deliverable CPU drifts ±40% over minutes
     (shared virtualization), so efficiency is computed PER interleaved
     round from its temporally-adjacent (N, 4N) pair — both legs of a
-    pair see near-identical host conditions — and the least-contended
-    round (max pair efficiency) is reported, with every round's pair
-    recorded alongside.  Round-1's max-throughput-per-leg estimator
-    mixed legs from different drift states and understated efficiency
-    by up to 0.13.
+    pair see near-identical host conditions.  A pair only COUNTS if it
+    passes the plausibility gates above (efficiency ≤ 1.05, canaries
+    within tolerance); rejected pairs are recorded with the reason but
+    never reported as the headline.  The headline is the best accepted
+    pair (labelled best-of-N) with the median of accepted pairs
+    surfaced alongside, and sampling continues until an ACCEPTED pair
+    clears the 0.8 bar (or the round/wall budget ends) — round-2's
+    estimator stopped on the first number ≥0.8 regardless of physics.
     """
     min_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROUNDS", 2))
     max_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MAX_ROUNDS", 5))
@@ -384,32 +450,57 @@ def run_scaling(n_events: int, n_small: int = 2, n_big: int = 8) -> dict:
         small = _replay_leg(n_small, n_events)
         big = _replay_leg(n_big, n_events)
         eff = (big["events_per_sec"] / small["events_per_sec"]) / (n_big / n_small)
+        eff = round(eff, 3)
+        rejected = _pair_rejection(
+            eff, small["host_canary_sec"], big["host_canary_sec"]
+        )
         res["rounds"].append(
             {
                 f"local[{n_small}]_events_per_sec": small["events_per_sec"],
                 f"local[{n_big}]_events_per_sec": big["events_per_sec"],
-                "efficiency": round(eff, 3),
+                "efficiency": eff,
                 "canaries": [small["host_canary_sec"], big["host_canary_sec"]],
+                "rejected": rejected,
             }
         )
         for key, r in ((f"local[{n_small}]", small), (f"local[{n_big}]", big)):
             if key not in res or r["events_per_sec"] > res[key]["events_per_sec"]:
                 res[key] = r
-        done = len(res["rounds"])
-        best_so_far = max(r["efficiency"] for r in res["rounds"])
-        # adaptive: stop once the north-rule bar is cleanly met and the
-        # minimum round count is in; otherwise keep sampling (bounded)
-        # through the host's slow windows
-        if done >= min_rounds and best_so_far >= 0.8:
+        accepted = [r for r in res["rounds"] if r["rejected"] is None]
+        best_ok = max((r["efficiency"] for r in accepted), default=0.0)
+        # adaptive: stop once an ACCEPTED pair cleanly meets the
+        # north-rule bar and the minimum round count is in; otherwise
+        # keep sampling (bounded) through the host's slow windows
+        if len(res["rounds"]) >= min_rounds and best_ok >= 0.8:
             break
         if time.perf_counter() - t_start > budget_sec:
             break
-    best = max(res["rounds"], key=lambda r: r["efficiency"])
-    t_small = best[f"local[{n_small}]_events_per_sec"]
-    t_big = best[f"local[{n_big}]_events_per_sec"]
+    accepted = [r for r in res["rounds"] if r["rejected"] is None]
     res["cores"] = {"N": n_small, "4N": n_big}
-    res["speedup_N_to_4N"] = round(t_big / t_small, 3)
-    res["scaling_efficiency"] = best["efficiency"]
+    res["rounds_rejected"] = len(res["rounds"]) - len(accepted)
+    if accepted:
+        best = max(accepted, key=lambda r: r["efficiency"])
+        effs = sorted(r["efficiency"] for r in accepted)
+        mid = len(effs) // 2
+        median = (
+            effs[mid] if len(effs) % 2 else round((effs[mid - 1] + effs[mid]) / 2, 3)
+        )
+        t_small = best[f"local[{n_small}]_events_per_sec"]
+        t_big = best[f"local[{n_big}]_events_per_sec"]
+        res["speedup_N_to_4N"] = round(t_big / t_small, 3)
+        res["scaling_efficiency"] = best["efficiency"]
+        res["scaling_efficiency_estimator"] = (
+            f"best of {len(accepted)} accepted interleaved pairs"
+            f" ({res['rounds_rejected']} rejected)"
+        )
+        res["scaling_efficiency_median"] = median
+    else:
+        # every sampled pair failed plausibility — report nothing
+        # rather than a garbage number
+        res["speedup_N_to_4N"] = None
+        res["scaling_efficiency"] = None
+        res["scaling_efficiency_estimator"] = "no accepted pairs"
+        res["scaling_efficiency_median"] = None
     return res
 
 
@@ -445,24 +536,62 @@ def main() -> None:
         spark.stop()
 
     scaling = None
+    serial = None
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         scaling = run_scaling(SCALING_EVENTS)
         if os.environ.get("SPARK_GRAFT_BENCH_SERIAL", "1") != "0":
-            scaling["serial_decomposition"] = run_serial_decomposition()
+            serial = run_serial_decomposition()
     # value = measured work (replay wall + headline queries), not
     # harness overhead
     total = round(cdc["wall_sec"] + sum(queries.values()), 3)
 
+    # Round-2's single JSON line (scaling rounds + serial runs inlined)
+    # overflowed the driver's output capture and the artifact recorded
+    # `parsed: null`, losing the per-query headline times.  The printed
+    # line is now a compact summary (~1.5 KB); the full per-round /
+    # per-run detail goes to a side file referenced by path.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    detail = {"cdc_replay": cdc, "scaling": scaling, "serial_decomposition": serial}
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    cdc_summary = {
+        k: cdc[k]
+        for k in ("events", "windows", "wall_sec", "events_per_sec", "final_rows",
+                  "host_canary_sec")
+    }
+    cdc_summary["attempts_events_per_sec"] = [
+        a["events_per_sec"] for a in cdc["attempts"]
+    ]
     out = {
-        "metric": "headline queries + CDC replay wall time (sf0.1, local[%s])" % CPUS,
+        "metric": "headline queries + CDC replay wall time (%s, local[%s])"
+        % (os.path.basename(SF_DIR.rstrip("/")), CPUS),
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
-        "cdc_replay": cdc,
+        "cdc_replay": cdc_summary,
+        "detail_file": detail_path,
     }
     if scaling is not None:
-        out["scaling"] = scaling
+        out["scaling"] = {
+            "cores": scaling["cores"],
+            "scaling_efficiency": scaling["scaling_efficiency"],
+            "scaling_efficiency_median": scaling["scaling_efficiency_median"],
+            "estimator": scaling["scaling_efficiency_estimator"],
+            "speedup_N_to_4N": scaling["speedup_N_to_4N"],
+            "pair_efficiencies": [r["efficiency"] for r in scaling["rounds"]],
+            "pairs_rejected": [
+                r["rejected"] for r in scaling["rounds"] if r["rejected"]
+            ],
+        }
+    if serial is not None:
+        out["serial_per_window_sec"] = serial["serial_per_window_sec"]
+        out["serial_fraction_at_1e9_window"] = serial[
+            "serial_fraction_at_1e9_window"
+        ]
     print(json.dumps(out))
 
 

@@ -286,26 +286,11 @@ def embedding_candidate_pairs(
     """
     dim = len(corpus.select(vec_col).first()[0])
     tables = [_hyperplanes(dim, n_bits, seed + t) for t in range(num_tables)]
-    sig = corpus.select(
-        F.col(id_col).alias("id"),
-        *[
-            signature_col(vec_col, tables[t]).alias(f"sig{t}")
-            for t in range(num_tables)
-        ],
-    )
+    sig = lsh_signatures(corpus, tables, id_col=id_col, vec_col=vec_col)
     exploded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"), F.col(f"sig{t}").alias("bucket")
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "tb.table", "tb.bucket")
+        F.col(id_col).alias("id"),
+        F.posexplode("sigs").alias("table", "bucket"),
+    )
     buckets = (
         exploded.groupBy("table", "bucket")
         .agg(F.collect_list("id").alias("ids"))
@@ -381,25 +366,54 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return rs.normal(size=(n_bits, dim))
 
 
-def signature_col(vec_col: str, planes: np.ndarray):
-    """Random-hyperplane signature (int bucket id) — native expression:
-    sum of bit<<i where bit = (dot(vec, plane_i) > 0)."""
-    bits = []
-    for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+def lsh_signatures(
+    corpus: DataFrame,
+    tables: list[np.ndarray],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """All-tables hyperplane signatures in ONE per-partition GEMM.
+
+    Emits ``(id[, vec], sigs: array<long>)`` with ``sigs[t]`` = bucket
+    id in table ``t`` (bit i set when dot(vec, plane_i) > 0 — same
+    convention as the driver-side query signatures).  One
+    ``(batch × dim)·(dim × tables·bits)`` BLAS matmul per Arrow batch
+    replaces ``tables × bits`` nested fold expressions: the expression
+    tree made Catalyst analysis/codegen the bottleneck (60 s of plan
+    time for a 48-plane select at dim 64, independent of row count)
+    and per-element fold evaluation is ~100× slower than GEMM per row.
+    Narrow map, no shuffle — scale cost is pure flops."""
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    planes = np.vstack(tables).astype(np.float64)  # (tables*bits, dim)
+    n_tables, n_bits = len(tables), tables[0].shape[0]
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    bc = spark.sparkContext.broadcast((planes, n_tables, n_bits, weights))
+
+    def sign(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes_, nt, nb, w = bc.value
+        for pdf in parts:
+            if pdf.empty:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            bits = (m @ planes_.T) > 0  # (batch, tables*bits)
+            sigs = bits.reshape(len(pdf), nt, nb) @ w  # (batch, tables)
+            out = {id_col: pdf[id_col]}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            out["sigs"] = list(sigs.astype(np.int64))
+            yield pd.DataFrame(out)
+
+    fields = {f.name: f for f in corpus.schema.fields}
+    schema = T.StructType(
+        [fields[id_col]]
+        + ([fields[vec_col]] if keep_vec else [])
+        + [T.StructField("sigs", T.ArrayType(T.LongType()))]
+    )
+    return corpus.select(id_col, vec_col).mapInPandas(sign, schema=schema)
 
 
 def lsh_bucketed_topk(
@@ -419,10 +433,8 @@ def lsh_bucketed_topk(
     dim = len(queries[0][1])
     tables = [_hyperplanes(dim, n_bits, seed + t) for t in range(num_tables)]
 
-    sig = corpus.select(
-        id_col,
-        vec_col,
-        *[signature_col(vec_col, tables[t]).alias(f"sig{t}") for t in range(num_tables)],
+    sig = lsh_signatures(
+        corpus, tables, id_col=id_col, vec_col=vec_col, keep_vec=True
     )
     # query signatures computed driver-side (tiny)
     qrows = []
@@ -435,17 +447,8 @@ def lsh_bucketed_topk(
         qrows, "query_id long, qvec array<double>, table int, bucket long"
     )
     exploded = sig.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("table"), F.col(f"sig{t}").alias("bucket"))
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+        id_col, vec_col, F.posexplode("sigs").alias("table", "bucket")
+    )
     cand = (
         exploded.join(F.broadcast(qdf), ["table", "bucket"])
         .select("query_id", id_col, vec_col, "qvec")

@@ -172,18 +172,41 @@ class CdcJobRunner:
         """
         from cwds_jobs_spark.progress import ProgressReporter
 
+        from cwds_jobs_spark.sources.file_stats import (
+            collect_file_stats,
+            plan_window_boundaries,
+        )
+
         tbl = self.table()
         container = self.sp_svc.read()
         assert container is not None, "incremental run requires a savepoint"
         total = {"events": 0, "windows": 0, "mode": st.INCREMENTAL_LOAD}
         reporter = ProgressReporter()
+        cap = self.cfg.max_events_per_window
+        # all window boundaries for the drain planned up front from
+        # parquet FOOTER stats (zero data scans); None = stats
+        # unavailable → per-window quantile probe fallback
+        boundaries: list | None = None
+        if cap:
+            boundaries = plan_window_boundaries(
+                collect_file_stats(self.spark, self.cfg.changes_dir),
+                container.savepoint.ts,
+                cap,
+            )
         while True:
             pending = read_changes(
                 self.spark, self.cfg.changes_dir, after=container.savepoint
             )
-            cap = self.cfg.max_events_per_window
             if cap:
-                pending = self._bound_window(pending, cap)
+                if boundaries:
+                    pending = pending.filter(
+                        F.col("op_ts") <= F.lit(boundaries.pop(0))
+                    )
+                elif boundaries is None:
+                    pending = self._bound_window(pending, cap)
+                # boundaries == []: planned windows drained — one
+                # uncapped pass picks up files that arrived mid-drain
+                # (usually empty → terminates)
             window = pending.persist()
             try:
                 probe = window.agg(

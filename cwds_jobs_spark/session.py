@@ -53,6 +53,11 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_CODEC", "snappy"),
         )
+        # INT96 (the legacy default) carries NO parquet min/max
+        # statistics, silently disabling row-group pruning for the
+        # savepoint predicate on op_ts AND footer-stats window
+        # planning (sources/file_stats.py); INT64 micros restores both
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # streaming micro-batches re-list the changes dir; keep state small

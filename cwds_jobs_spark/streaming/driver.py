@@ -42,7 +42,10 @@ def _write_progress(lineage_dir: str, job_id: str, snap: dict) -> None:
     tmp = os.path.join(d, f".progress.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:
         json.dump(snap, f)
-    os.replace(tmp, os.path.join(d, "progress.json"))
+    # underscore prefix: the sidecar lives inside a parquet dataset
+    # dir, and Spark's file listing skips only `_`/`.`-prefixed names —
+    # an unprefixed name breaks every later lineage read
+    os.replace(tmp, os.path.join(d, "_progress.json"))
 
 
 def read_progress(lineage_dir: str, job_id: str) -> dict | None:
@@ -50,7 +53,7 @@ def read_progress(lineage_dir: str, job_id: str) -> dict | None:
     import json
     import os
 
-    p = os.path.join(lineage_dir, f"job={job_id}", "progress.json")
+    p = os.path.join(lineage_dir, f"job={job_id}", "_progress.json")
     if not os.path.exists(p):
         return None
     with open(p) as f:
@@ -97,7 +100,7 @@ def start_cdc_stream(
     batch feeds a :class:`~cwds_jobs_spark.progress.ProgressReporter`
     (pass ``total_expected`` for ETA, or a pre-built ``reporter``) and
     the snapshot — events, events/sec, ETA — is written atomically to
-    ``<lineage_dir>/job=<job_id>/progress.json`` next to the lineage
+    ``<lineage_dir>/job=<job_id>/_progress.json`` next to the lineage
     rows.  The feed is synchronous with the batch commit (not the
     async StreamingQueryListener path, which remains available via
     ``progress.attach_streaming_progress`` for external monitors), so

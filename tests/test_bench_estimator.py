@@ -1,0 +1,92 @@
+"""Unit tests for bench.py's measurement estimators (no Spark).
+
+Round 2 recorded a physically impossible scaling_efficiency of 1.571
+(2-core leg in a slow host window, 8-core leg clean) and a negative
+serial intercept of -15.9 s; these pin the plausibility gates that
+keep such artifacts out of the recorded evidence.
+"""
+
+import bench
+
+
+class TestPairRejection:
+    def test_accepts_plausible_pair(self):
+        assert bench._pair_rejection(0.78, 0.25, 0.27) is None
+
+    def test_rejects_superlinear_efficiency(self):
+        # the exact round-2 garbage pair: eff 1.571, canaries 0.287/0.345
+        reason = bench._pair_rejection(1.571, 0.287, 0.345)
+        assert reason is not None and "impossible" in reason
+
+    def test_rejects_canary_mismatch(self):
+        # legs straddling a host fast/slow transition (round-2's 0.438
+        # pair had canaries 0.256 vs 0.388 — a 52% mismatch)
+        reason = bench._pair_rejection(0.438, 0.256, 0.388)
+        assert reason is not None and "canary" in reason
+
+    def test_efficiency_at_one_allowed_within_noise(self):
+        assert bench._pair_rejection(1.02, 0.30, 0.31) is None
+
+    def test_low_efficiency_is_plausible(self):
+        # low efficiency is a real (bad) result, not a measurement error
+        assert bench._pair_rejection(0.35, 0.30, 0.31) is None
+
+
+class TestSerialFit:
+    def test_positive_intercept_kept(self):
+        # wall = 2 + 3e-6 * events, exact
+        pts = [(1_000_000, 5.0), (2_000_000, 8.0), (4_000_000, 14.0)]
+        slope, intercept, clamped = bench._fit_serial(pts)
+        assert not clamped
+        assert abs(slope - 3e-6) < 1e-9
+        assert abs(intercept - 2.0) < 1e-6
+
+    def test_negative_intercept_clamped_to_origin_fit(self):
+        # round-2 shape: the largest size contaminated upward makes the
+        # naive fit intercept negative
+        pts = [(1_000_000, 3.6), (2_000_000, 5.4), (4_000_000, 11.0),
+               (8_000_000, 62.5)]
+        slope, intercept, clamped = bench._fit_serial(pts)
+        assert clamped
+        assert intercept == 0.0
+        assert slope > 0
+
+
+class TestScalingSummary:
+    def test_no_accepted_pairs_reports_none(self, monkeypatch):
+        legs = iter(
+            [
+                {"events_per_sec": 115_000.0, "host_canary_sec": 0.287},
+                {"events_per_sec": 723_000.0, "host_canary_sec": 0.345},
+            ]
+        )
+        monkeypatch.setattr(
+            bench, "_replay_leg", lambda cpus, n_events, **kw: next(legs)
+        )
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_ROUNDS", "1")
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_MAX_ROUNDS", "1")
+        res = bench.run_scaling(1000)
+        assert res["scaling_efficiency"] is None
+        assert res["rounds_rejected"] == 1
+        assert res["rounds"][0]["rejected"] is not None
+
+    def test_best_and_median_over_accepted_only(self, monkeypatch):
+        # 3 rounds: garbage 1.571, then accepted 0.70 and 0.82
+        vals = iter(
+            [
+                (115_000.0, 0.287), (723_000.0, 0.345),   # eff 1.571 → rejected
+                (200_000.0, 0.30), (560_000.0, 0.31),     # eff 0.70
+                (200_000.0, 0.30), (656_000.0, 0.31),     # eff 0.82
+            ]
+        )
+        def fake_leg(cpus, n_events, **kw):
+            eps, canary = next(vals)
+            return {"events_per_sec": eps, "host_canary_sec": canary}
+        monkeypatch.setattr(bench, "_replay_leg", fake_leg)
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_ROUNDS", "2")
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_MAX_ROUNDS", "3")
+        res = bench.run_scaling(1000)
+        assert res["scaling_efficiency"] == 0.82
+        assert res["scaling_efficiency_median"] == 0.76
+        assert res["rounds_rejected"] == 1
+        assert "best of 2 accepted" in res["scaling_efficiency_estimator"]

@@ -1,0 +1,165 @@
+"""Footer-stats window planning (sources/file_stats.py): capped
+incremental windows bounded from parquet footers with ZERO data scans
+on a time-contiguous (log-shipped) tail, quantile-probe fallback on
+overlapping files — the scale successor to runner._bound_window's
+per-window count + approxQuantile over the whole pending tail."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cwds_jobs_spark import state as st
+from cwds_jobs_spark.oracle import assert_matches, replay
+from cwds_jobs_spark.runner import CdcJobRunner, JobConfig
+from cwds_jobs_spark.sources.file_stats import (
+    FileStat,
+    collect_file_stats,
+    plan_window_boundaries,
+)
+from cwds_jobs_spark.synth import synth_changes
+
+T0 = dt.datetime(2021, 3, 1)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _write_contiguous_tail(
+    spark, changes_dir, n_dirs, per_dir, start_lsn=0, prefix="chunk"
+):
+    """Sequential time-contiguous chunk files — the CDC log-shipping
+    layout (each shipped file covers a disjoint op_ts range)."""
+    all_ev = synth_changes(
+        spark, n_dirs * per_dir, n_convs=20, start_lsn=start_lsn
+    ).orderBy("op_ts", "lsn")
+    rows = all_ev.collect()
+    for d in range(n_dirs):
+        chunk = rows[d * per_dir : (d + 1) * per_dir]
+        spark.createDataFrame(chunk, all_ev.schema).coalesce(1).write.parquet(
+            f"{changes_dir}/{prefix}{d:03d}"
+        )
+    return rows
+
+
+class TestCollect:
+    def test_footer_stats_match_data(self, spark, ws):
+        rows = _write_contiguous_tail(spark, ws["changes"], 3, 40)
+        stats = collect_file_stats(spark, ws["changes"])
+        assert len(stats) == 3
+        assert sum(s.rows for s in stats) == 120
+        # every file's min/max present (TIMESTAMP_MICROS carries stats)
+        # and globally consistent with the data
+        assert all(s.min_ts is not None and s.max_ts is not None for s in stats)
+        lo = min(s.min_ts for s in stats)
+        hi = max(s.max_ts for s in stats)
+        assert lo == min(r.op_ts for r in rows)
+        assert hi == max(r.op_ts for r in rows)
+
+    def test_empty_dir(self, spark, ws):
+        assert collect_file_stats(spark, ws["changes"]) == []
+
+
+class TestPlan:
+    def _stat(self, i, rows, lo, hi):
+        return FileStat(f"f{i}", rows, _ts(lo), _ts(hi))
+
+    def test_contiguous_files_cut_near_cap(self):
+        stats = [self._stat(i, 50, i * 10, i * 10 + 9) for i in range(10)]
+        bs = plan_window_boundaries(stats, None, cap=100)
+        assert bs == [_ts(19), _ts(39), _ts(59), _ts(79), _ts(99)]
+
+    def test_after_ts_skips_applied_files(self):
+        stats = [self._stat(i, 50, i * 10, i * 10 + 9) for i in range(10)]
+        bs = plan_window_boundaries(stats, _ts(49), cap=100)
+        # files 0-3 fully applied (max_ts < 49... file 4 has max 49 ==
+        # after_ts: stays live for equal-ts lsn tiebreaks but emits no
+        # boundary <= after_ts)
+        assert bs is not None and all(b > _ts(49) for b in bs)
+        assert bs[-1] == _ts(99)
+
+    def test_overlapping_files_fall_back(self):
+        # unsorted bulk write: every file spans the full range
+        stats = [self._stat(i, 100, 0, 99) for i in range(5)]
+        assert plan_window_boundaries(stats, None, cap=50) is None
+
+    def test_missing_stats_fall_back(self):
+        stats = [self._stat(0, 50, 0, 9), FileStat("f1", 50, None, None)]
+        assert plan_window_boundaries(stats, None, cap=30) is None
+
+    def test_no_live_files(self):
+        stats = [self._stat(0, 50, 0, 9)]
+        assert plan_window_boundaries(stats, _ts(100), cap=10) == []
+
+
+class TestRunnerIntegration:
+    def _runner(self, spark, ws, **kw):
+        return CdcJobRunner(
+            spark,
+            JobConfig(
+                job_id="fsjob",
+                changes_dir=ws["changes"],
+                table_path=ws["table"],
+                state_dir=ws["state"],
+                lineage_dir=ws["lineage"],
+                num_buckets=8,
+                **kw,
+            ),
+        )
+
+    def test_capped_drain_plans_from_footers_no_tail_scans(
+        self, spark, ws, monkeypatch
+    ):
+        """Multi-window capped replay over a log-shipped tail must never
+        invoke the quantile probe (the per-window full-tail scan)."""
+        rows = _write_contiguous_tail(spark, ws["changes"], 1, 50)
+        r = self._runner(spark, ws, max_events_per_window=100)
+        r.run()  # initial load on chunk000 + cutover
+
+        more = _write_contiguous_tail(
+            spark, ws["changes"], 9, 50, start_lsn=50, prefix="t2_chunk"
+        )
+
+        def boom(self_, pending, cap):
+            raise AssertionError("quantile probe ran — footer plan unused")
+
+        monkeypatch.setattr(CdcJobRunner, "_bound_window", boom)
+        out = r.run()
+        assert out["events"] == 450
+        # ~100-event windows over 450 pending rows: 5 planned windows
+        assert out["windows"] == 5
+        expected = replay(
+            [e for e in rows if e.op != "D"] + list(more)
+        )
+        assert_matches(r.table().read(), expected)
+        hi = max(more, key=lambda e: (e.op_ts, e.lsn))
+        assert r.sp_svc.read().savepoint.as_tuple() == (hi.op_ts, hi.lsn)
+
+    def test_overlapping_tail_still_converges_via_probe(self, spark, ws):
+        """Unsorted bulk tail → planner returns None → quantile-probe
+        fallback still drains correctly (pre-existing behavior)."""
+        ev = synth_changes(spark, 300, n_convs=8, ts_group=10)
+        ev.filter("lsn < 50").write.parquet(ws["changes"] + "/w0")
+        r = self._runner(spark, ws, max_events_per_window=40)
+        r.run()
+        ev.filter("lsn >= 50").write.parquet(ws["changes"] + "/w1")
+        out = r.run()
+        assert out["events"] == 250 and out["windows"] >= 2
+        expected = replay(
+            [e for e in ev.collect() if e.lsn < 50 and e.op != "D"]
+            + [e for e in ev.collect() if e.lsn >= 50]
+        )
+        assert_matches(r.table().read(), expected)
+
+
+def test_changes_files_carry_op_ts_stats(spark, ws):
+    """Regression pin for the INT96 trap: parquet written by this
+    engine's session must carry op_ts min/max footer statistics (INT96,
+    the legacy spark default, has none — which also silently disables
+    row-group pruning for the savepoint predicate)."""
+    synth_changes(spark, 100, n_convs=5).write.parquet(ws["changes"] + "/w0")
+    stats = collect_file_stats(spark, ws["changes"])
+    assert stats and all(
+        s.min_ts is not None and s.max_ts is not None for s in stats
+    )

@@ -101,7 +101,7 @@ def test_runner_incremental_reports_rate(spark, ws):
 
 def test_streaming_driver_writes_progress_sidecar_by_default(spark, ws):
     """C4 default-on: a drain with lineage_dir set leaves a rate/ETA
-    snapshot at <lineage>/job=<id>/progress.json, fed synchronously
+    snapshot at <lineage>/job=<id>/_progress.json, fed synchronously
     from the applied-batch lineage stats."""
     from cwds_jobs_spark.sources.changes import write_changes_window
     from cwds_jobs_spark.streaming.driver import read_progress, run_tail_once

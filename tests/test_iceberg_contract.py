@@ -48,6 +48,52 @@ def test_iceberg_not_available_in_sandbox(spark):
     assert not iceberg_available(spark)
 
 
+def test_lww_dedup_contract_holds_for_evolved_nested_schema(spark):
+    """The Iceberg MERGE source contract is payload-shape-agnostic: a
+    batch with an evolved NESTED payload (added struct field + widened
+    nested numeric — the round-2 evolution fixtures) must dedup to one
+    winner per key with the nested struct passed through intact, since
+    ``UPDATE SET * / INSERT *`` copies every source column including
+    structs."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    props = T.StructType(
+        [
+            T.StructField("rating", T.LongType()),
+            T.StructField("labels", T.ArrayType(T.StringType())),
+            T.StructField("reviewer", T.StringType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType()),
+            T.StructField("props", props),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("op_ts", T.TimestampType(), False),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "v1", (3, ["a"], None), "I", t0, 1),
+        ("c1", 0, "v2", (4, ["a", "b"], "rev"), "U", t0, 2),  # winner
+        ("c2", 1, "w1", (9, [], "r2"), "I", t0, 3),           # winner
+    ]
+    deduped = lww_dedup(spark.createDataFrame(rows, schema))
+    # full evolved column set, nested struct type preserved
+    assert deduped.columns == [f.name for f in schema.fields]
+    assert deduped.schema["props"].dataType == props
+    got = {r.conv_id: r for r in deduped.collect()}
+    assert len(got) == 2
+    assert got["c1"].lsn == 2 and got["c1"].props.reviewer == "rev"
+    assert got["c1"].props.rating == 4 and got["c1"].props.labels == ["a", "b"]
+    assert got["c2"].props.asDict() == {"rating": 9, "labels": [], "reviewer": "r2"}
+
+
 def test_lww_dedup_output_matches_merge_contract(spark):
     """The MERGE source view must expose the key columns, `op` (the
     statement branches on it) and the full payload — i.e. the original

@@ -26,7 +26,13 @@ apart with <2% steal):
 - scaling efficiency is computed per interleaved (2, 8) pair — both
   legs of a pair see near-identical host conditions — and the
   least-contended pair is reported with every round recorded;
-- a single-thread host canary is recorded next to every measurement.
+- a single-thread ALU canary AND a DRAM-bandwidth canary are recorded
+  next to every measurement (a bandwidth-starved window shows fast ALU
+  canaries yet starves only the wide legs);
+- the replay tail is synthesized ONCE per section at full width and
+  shared read-only by every leg/attempt (validated no-slower by an
+  interleaved A/B; halves leg wall time, so pairs rarely straddle a
+  host fast/slow transition).
 """
 
 from __future__ import annotations
@@ -265,6 +271,33 @@ def _canary() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+_BW_ARR = None
+
+
+def _canary_bw() -> float:
+    """Memory-BANDWIDTH canary: seconds to stream ~1 GiB through a
+    256 MiB array (larger than LLC, so it measures DRAM).
+
+    Round-3 observation: the ALU canary misses exactly the host state
+    that ruins scaling pairs — a bandwidth-starved window recorded
+    fast ALU canaries (0.268 s / 0.301 s) next to an 8-core leg at
+    273k ev/s vs 556k in a clean window (the 2-core legs were stable
+    throughout: wide legs need ~4x the bandwidth, so contention from
+    co-tenants hits only them).  Recording DRAM speed next to every
+    measurement makes those windows visible and gateable."""
+    import numpy as np
+
+    global _BW_ARR
+    if _BW_ARR is None:
+        _BW_ARR = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MiB
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(4):
+        s += float(_BW_ARR.sum())
+    assert s > 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def _replay_leg(
     cpus: int,
     n_events: int,
@@ -301,6 +334,7 @@ def _replay_leg(
         "print('RESULT::' + json.dumps(r))\n"
     )
     canary = _canary()
+    bw = _canary_bw()
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
@@ -309,7 +343,40 @@ def _replay_leg(
         raise RuntimeError(f"scaling leg cpus={cpus} failed: {out.stderr[-800:]}")
     r = json.loads(lines[-1][len("RESULT::"):])
     r["host_canary_sec"] = canary
+    r["host_bw_canary_sec"] = bw
     return r
+
+
+def _materialize_shared_tail(n_events: int, n_windows: int, tag: str) -> str:
+    """Synthesize a tail ONCE (fresh unpinned subprocess, full width)
+    for reuse by every leg/attempt that replays it.
+
+    Round 3 A/B (interleaved, 8-core 16M legs): shared-tail legs match
+    own-synth legs within host noise (558k vs 457k/596k ev/s) — round
+    2's 'sharing is 2x slower' note was a slow-host-window artifact.
+    Sharing cuts leg wall ~40% at 8 cores and far more at 2 cores
+    (synthesizing 32M events on 2 pinned cores dominated the leg), so
+    interleaved (N, 4N) pairs are shorter, more of them fit the budget,
+    and fewer straddle a host fast/slow transition (the top rejection
+    cause in round 3's recorded pairs).
+    """
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    tail_dir = os.path.join(
+        tempfile.mkdtemp(prefix=f"bench_tail_{tag}_", dir=BENCH_DIR), "tail"
+    )
+    code = (
+        f"import sys\nsys.path.insert(0, {here!r})\n"
+        "import bench\n"
+        f"spark = bench._session('{CPUS}')\n"
+        f"bench.materialize_tail(spark, {n_events}, {n_windows}, {tail_dir!r})\n"
+        "spark.stop()\n"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, capture_output=True, timeout=1800
+    )
+    return tail_dir
 
 
 def _fit_serial(points: list[tuple[int, float]]) -> tuple[float, float, bool]:
@@ -323,6 +390,8 @@ def _fit_serial(points: list[tuple[int, float]]) -> tuple[float, float, bool]:
     sy = sum(p[1] for p in points)
     sxx = sum(p[0] * p[0] for p in points)
     sxy = sum(p[0] * p[1] for p in points)
+    if n < 2:  # degenerate (single size): origin fit, no intercept
+        return sxy / sxx, 0.0, False
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
     clamped = intercept < 0
@@ -366,10 +435,14 @@ def run_serial_decomposition(cpus: int = 8) -> dict:
     for per_window in sizes:
         walls: list[float] = []
         runs[str(per_window)] = []
-        for _ in range(reps):
-            r = _replay_leg(cpus, per_window * 2, windows=2)
-            runs[str(per_window)].append(r)
-            walls.extend(r["window_walls"])
+        tail_dir = _materialize_shared_tail(per_window * 2, 2, f"ser{per_window}")
+        try:
+            for _ in range(reps):
+                r = _replay_leg(cpus, per_window * 2, windows=2, tail_dir=tail_dir)
+                runs[str(per_window)].append(r)
+                walls.extend(r["window_walls"])
+        finally:
+            shutil.rmtree(os.path.dirname(tail_dir), ignore_errors=True)
         points.append((per_window, min(walls)))
     slope, intercept, clamped = _fit_serial(points)
     return {
@@ -380,8 +453,13 @@ def run_serial_decomposition(cpus: int = 8) -> dict:
         "per_event_usec": round(slope * 1e6, 4),
         "serial_per_window_sec": round(intercept, 3),
         "intercept_clamped": clamped,
-        "serial_fraction_at_1e9_window": round(
-            intercept / (intercept + slope * 1e9), 6
+        # only meaningful with a positive per-event cost (a degenerate
+        # tiny-size fit can land slope <= 0; never record a nonsense
+        # negative fraction)
+        "serial_fraction_at_1e9_window": (
+            round(intercept / (intercept + slope * 1e9), 6)
+            if slope > 0
+            else None
         ),
         "runs": runs,
     }
@@ -394,19 +472,36 @@ def run_serial_decomposition(cpus: int = 8) -> dict:
 #   - efficiency above 1.0 (+noise margin) means the legs did not see
 #     comparable host conditions; the pair is evidence of drift, not
 #     scaling.
-#   - canaries measure single-thread host speed immediately before
-#     each leg; legs whose canaries disagree by >35% straddled a host
-#     fast/slow transition and are not a valid pair either.
+#   - canaries measure single-thread host speed (ALU) and DRAM
+#     bandwidth immediately before each leg; legs whose canaries
+#     disagree by >35% straddled a host fast/slow transition and are
+#     not a valid pair either.  The bandwidth canary exists because
+#     round 3 recorded a pair with FAST ALU canaries on both legs yet
+#     0.315 efficiency — the window was bandwidth-starved, which only
+#     the wide leg feels (it needs 4x the DRAM traffic per second).
 _EFF_CEILING = 1.05
 _CANARY_TOL = 0.35
 
 
-def _pair_rejection(eff: float, c_small: float, c_big: float) -> str | None:
+def _pair_rejection(
+    eff: float,
+    c_small: float,
+    c_big: float,
+    bw_small: float | None = None,
+    bw_big: float | None = None,
+) -> str | None:
     if eff > _EFF_CEILING:
         return f"efficiency {eff} > {_EFF_CEILING} (physically impossible)"
     lo, hi = sorted((c_small, c_big))
     if lo > 0 and (hi - lo) / lo > _CANARY_TOL:
         return f"canary mismatch {c_small}s vs {c_big}s (> {_CANARY_TOL:.0%})"
+    if bw_small is not None and bw_big is not None:
+        lo, hi = sorted((bw_small, bw_big))
+        if lo > 0 and (hi - lo) / lo > _CANARY_TOL:
+            return (
+                f"bandwidth canary mismatch {bw_small}s vs {bw_big}s"
+                f" (> {_CANARY_TOL:.0%})"
+            )
     return None
 
 
@@ -434,47 +529,60 @@ def run_scaling(n_events: int, n_small: int = 2, n_big: int = 8) -> dict:
     estimator stopped on the first number ≥0.8 regardless of physics.
     """
     min_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROUNDS", 2))
-    max_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MAX_ROUNDS", 5))
+    max_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MAX_ROUNDS", 8))
     # wall-clock budget: in a slow host window a single 2-core leg can
     # take 3-4 min; bound the whole sampling loop so the bench stays
     # inside the driver's round budget no matter the host state
     budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_SCALING_BUDGET_SEC", 1400))
     t_start = time.perf_counter()
-    # each leg synthesizes its own tail (deterministic, so inputs are
-    # still byte-identical across legs).  Sharing a pre-materialized
-    # tail was measured 2x SLOWER: the big untimed synth write is what
-    # matures the leg JVM (heap expansion + JIT across the parquet/
-    # codegen paths) before the timed merge — see BASELINE.md.
+    # the tail is synthesized ONCE at full width and shared by every
+    # leg (read-only parquet; deterministic, byte-identical for all) —
+    # shorter legs mean more interleaved pairs per budget and fewer
+    # pairs straddling a host fast/slow transition.  Validated by an
+    # interleaved A/B in round 3 (see _materialize_shared_tail).
+    tail_dir = _materialize_shared_tail(n_events, REPLAY_WINDOWS, "scaling")
     res: dict = {"rounds": []}
-    while len(res["rounds"]) < max_rounds:
-        small = _replay_leg(n_small, n_events)
-        big = _replay_leg(n_big, n_events)
-        eff = (big["events_per_sec"] / small["events_per_sec"]) / (n_big / n_small)
-        eff = round(eff, 3)
-        rejected = _pair_rejection(
-            eff, small["host_canary_sec"], big["host_canary_sec"]
-        )
-        res["rounds"].append(
-            {
-                f"local[{n_small}]_events_per_sec": small["events_per_sec"],
-                f"local[{n_big}]_events_per_sec": big["events_per_sec"],
-                "efficiency": eff,
-                "canaries": [small["host_canary_sec"], big["host_canary_sec"]],
-                "rejected": rejected,
-            }
-        )
-        for key, r in ((f"local[{n_small}]", small), (f"local[{n_big}]", big)):
-            if key not in res or r["events_per_sec"] > res[key]["events_per_sec"]:
-                res[key] = r
-        accepted = [r for r in res["rounds"] if r["rejected"] is None]
-        best_ok = max((r["efficiency"] for r in accepted), default=0.0)
-        # adaptive: stop once an ACCEPTED pair cleanly meets the
-        # north-rule bar and the minimum round count is in; otherwise
-        # keep sampling (bounded) through the host's slow windows
-        if len(res["rounds"]) >= min_rounds and best_ok >= 0.8:
-            break
-        if time.perf_counter() - t_start > budget_sec:
-            break
+    try:
+        while len(res["rounds"]) < max_rounds:
+            small = _replay_leg(n_small, n_events, tail_dir=tail_dir)
+            big = _replay_leg(n_big, n_events, tail_dir=tail_dir)
+            eff = (
+                big["events_per_sec"] / small["events_per_sec"]
+            ) / (n_big / n_small)
+            eff = round(eff, 3)
+            rejected = _pair_rejection(
+                eff,
+                small["host_canary_sec"],
+                big["host_canary_sec"],
+                small["host_bw_canary_sec"],
+                big["host_bw_canary_sec"],
+            )
+            res["rounds"].append(
+                {
+                    f"local[{n_small}]_events_per_sec": small["events_per_sec"],
+                    f"local[{n_big}]_events_per_sec": big["events_per_sec"],
+                    "efficiency": eff,
+                    "canaries": [small["host_canary_sec"], big["host_canary_sec"]],
+                    "bw_canaries": [
+                        small["host_bw_canary_sec"], big["host_bw_canary_sec"]
+                    ],
+                    "rejected": rejected,
+                }
+            )
+            for key, r in ((f"local[{n_small}]", small), (f"local[{n_big}]", big)):
+                if key not in res or r["events_per_sec"] > res[key]["events_per_sec"]:
+                    res[key] = r
+            accepted = [r for r in res["rounds"] if r["rejected"] is None]
+            best_ok = max((r["efficiency"] for r in accepted), default=0.0)
+            # adaptive: stop once an ACCEPTED pair cleanly meets the
+            # north-rule bar and the minimum round count is in; otherwise
+            # keep sampling (bounded) through the host's slow windows
+            if len(res["rounds"]) >= min_rounds and best_ok >= 0.8:
+                break
+            if time.perf_counter() - t_start > budget_sec:
+                break
+    finally:
+        shutil.rmtree(os.path.dirname(tail_dir), ignore_errors=True)
     accepted = [r for r in res["rounds"] if r["rejected"] is None]
     res["cores"] = {"N": n_small, "4N": n_big}
     res["rounds_rejected"] = len(res["rounds"]) - len(accepted)
@@ -511,16 +619,21 @@ def main() -> None:
     # and recorded a 5× under-read.  Best-of-N because the host
     # alternates multi-minute fast/slow windows (canaries recorded
     # per attempt); all attempts are kept in the artifact.
-    replay_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_REPLAY_ROUNDS", 3))
-    attempts = [
-        _replay_leg(int(CPUS), REPLAY_EVENTS, pin=False)
-        for _ in range(replay_rounds)
-    ]
+    replay_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_REPLAY_ROUNDS", 4))
+    tail_dir = _materialize_shared_tail(REPLAY_EVENTS, REPLAY_WINDOWS, "headline")
+    try:
+        attempts = [
+            _replay_leg(int(CPUS), REPLAY_EVENTS, pin=False, tail_dir=tail_dir)
+            for _ in range(replay_rounds)
+        ]
+    finally:
+        shutil.rmtree(os.path.dirname(tail_dir), ignore_errors=True)
     cdc = max(attempts, key=lambda r: r["events_per_sec"])
     cdc = dict(cdc)
     cdc["attempts"] = [
         {"events_per_sec": a["events_per_sec"], "wall_sec": a["wall_sec"],
-         "host_canary_sec": a["host_canary_sec"]}
+         "host_canary_sec": a["host_canary_sec"],
+         "host_bw_canary_sec": a["host_bw_canary_sec"]}
         for a in attempts
     ]
 
@@ -560,7 +673,7 @@ def main() -> None:
     cdc_summary = {
         k: cdc[k]
         for k in ("events", "windows", "wall_sec", "events_per_sec", "final_rows",
-                  "host_canary_sec")
+                  "host_canary_sec", "host_bw_canary_sec")
     }
     cdc_summary["attempts_events_per_sec"] = [
         a["events_per_sec"] for a in cdc["attempts"]

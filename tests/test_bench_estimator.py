@@ -31,6 +31,17 @@ class TestPairRejection:
         # low efficiency is a real (bad) result, not a measurement error
         assert bench._pair_rejection(0.35, 0.30, 0.31) is None
 
+    def test_rejects_bandwidth_canary_mismatch(self):
+        # round-3 failure mode the ALU canary cannot see: a bandwidth-
+        # starved window hits only the wide leg (fast ALU canaries on
+        # both legs, 0.315 efficiency); the DRAM canary catches the
+        # transition when the legs' bandwidth readings diverge
+        reason = bench._pair_rejection(0.5, 0.26, 0.27, 0.12, 0.31)
+        assert reason is not None and "bandwidth" in reason
+
+    def test_accepts_matching_bandwidth_canaries(self):
+        assert bench._pair_rejection(0.78, 0.25, 0.27, 0.12, 0.13) is None
+
 
 class TestSerialFit:
     def test_positive_intercept_kept(self):
@@ -53,15 +64,22 @@ class TestSerialFit:
 
 
 class TestScalingSummary:
-    def test_no_accepted_pairs_reports_none(self, monkeypatch):
+    def test_no_accepted_pairs_reports_none(self, monkeypatch, tmp_path):
         legs = iter(
             [
-                {"events_per_sec": 115_000.0, "host_canary_sec": 0.287},
-                {"events_per_sec": 723_000.0, "host_canary_sec": 0.345},
+                {"events_per_sec": 115_000.0, "host_canary_sec": 0.287,
+                 "host_bw_canary_sec": 0.12},
+                {"events_per_sec": 723_000.0, "host_canary_sec": 0.345,
+                 "host_bw_canary_sec": 0.12},
             ]
         )
         monkeypatch.setattr(
             bench, "_replay_leg", lambda cpus, n_events, **kw: next(legs)
+        )
+        monkeypatch.setattr(
+            bench,
+            "_materialize_shared_tail",
+            lambda n, w, tag: str(tmp_path / tag / "tail"),
         )
         monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_ROUNDS", "1")
         monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_MAX_ROUNDS", "1")
@@ -70,7 +88,7 @@ class TestScalingSummary:
         assert res["rounds_rejected"] == 1
         assert res["rounds"][0]["rejected"] is not None
 
-    def test_best_and_median_over_accepted_only(self, monkeypatch):
+    def test_best_and_median_over_accepted_only(self, monkeypatch, tmp_path):
         # 3 rounds: garbage 1.571, then accepted 0.70 and 0.82
         vals = iter(
             [
@@ -81,8 +99,14 @@ class TestScalingSummary:
         )
         def fake_leg(cpus, n_events, **kw):
             eps, canary = next(vals)
-            return {"events_per_sec": eps, "host_canary_sec": canary}
+            return {"events_per_sec": eps, "host_canary_sec": canary,
+                    "host_bw_canary_sec": 0.12}
         monkeypatch.setattr(bench, "_replay_leg", fake_leg)
+        monkeypatch.setattr(
+            bench,
+            "_materialize_shared_tail",
+            lambda n, w, tag: str(tmp_path / tag / "tail"),
+        )
         monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_ROUNDS", "2")
         monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_MAX_ROUNDS", "3")
         res = bench.run_scaling(1000)

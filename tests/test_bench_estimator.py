@@ -43,6 +43,82 @@ class TestPairRejection:
         assert bench._pair_rejection(0.78, 0.25, 0.27, 0.12, 0.13) is None
 
 
+class TestDegradedWindowGate:
+    def test_pair_in_degraded_window_rejected_post_hoc(
+        self, monkeypatch, tmp_path
+    ):
+        # round-3 v2 shape: internally-consistent pairs (matched
+        # canaries, eff <= 1) measured inside a window delivering ~10%
+        # of clean DRAM bandwidth — 8-core leg slower than 2-core.
+        # The session's headline attempts saw a clean window (bw 0.11),
+        # so the degraded pairs must be rejected post-hoc against it.
+        legs = iter(
+            [
+                {"events_per_sec": 200_000.0, "host_canary_sec": 1.50,
+                 "host_bw_canary_sec": 1.18},
+                {"events_per_sec": 178_600.0, "host_canary_sec": 1.55,
+                 "host_bw_canary_sec": 1.20},
+            ]
+        )
+        monkeypatch.setattr(
+            bench, "_replay_leg", lambda cpus, n_events, **kw: next(legs)
+        )
+        monkeypatch.setattr(
+            bench,
+            "_materialize_shared_tail",
+            lambda n, w, tag: str(tmp_path / tag / "tail"),
+        )
+        monkeypatch.setattr(bench, "run_host_probe", lambda a, b: {})
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_ROUNDS", "1")
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_MAX_ROUNDS", "1")
+        s = bench.ScalingSampler(1000)
+        s.sample_pair()
+        assert s.rounds[0]["rejected"] is None  # canaries match, eff ok
+        res = s.finalize(extra_bw_canaries=[0.114, 1.1])
+        assert res["scaling_efficiency"] is None
+        assert "degraded" in res["rounds"][0]["rejected"]
+
+    def test_uniform_slow_session_keeps_pairs(self, monkeypatch, tmp_path):
+        # with no clean reference anywhere in the session, equally-slow
+        # pairs are NOT rejected (nothing proves the window abnormal)
+        legs = iter(
+            [
+                {"events_per_sec": 200_000.0, "host_canary_sec": 1.50,
+                 "host_bw_canary_sec": 1.18},
+                {"events_per_sec": 560_000.0, "host_canary_sec": 1.55,
+                 "host_bw_canary_sec": 1.20},
+            ]
+        )
+        monkeypatch.setattr(
+            bench, "_replay_leg", lambda cpus, n_events, **kw: next(legs)
+        )
+        monkeypatch.setattr(
+            bench,
+            "_materialize_shared_tail",
+            lambda n, w, tag: str(tmp_path / tag / "tail"),
+        )
+        monkeypatch.setattr(bench, "run_host_probe", lambda a, b: {})
+        s = bench.ScalingSampler(1000)
+        s.sample_pair()
+        res = s.finalize(extra_bw_canaries=[1.15, 1.3])
+        assert res["scaling_efficiency"] == 0.7
+
+
+class TestHostProbe:
+    def test_structure_and_efficiency_math(self, monkeypatch):
+        # host delivers ALU ~linearly but DRAM only 1.6x from 2->8
+        rates = {("alu", 2): 1.0, ("alu", 8): 3.9,
+                 ("dram", 2): 1.0, ("dram", 8): 1.6}
+        monkeypatch.setattr(
+            bench, "_probe_scale", lambda kind, n: rates[(kind, n)]
+        )
+        out = bench.run_host_probe(2, 8)
+        assert out["alu"]["efficiency"] == 0.975
+        assert out["dram"]["efficiency"] == 0.4
+        assert out["dram"]["speedup"] == 1.6
+        assert out["alu"]["throughput_x2"] == 1.0
+
+
 class TestSerialFit:
     def test_positive_intercept_kept(self):
         # wall = 2 + 3e-6 * events, exact
@@ -81,6 +157,7 @@ class TestScalingSummary:
             "_materialize_shared_tail",
             lambda n, w, tag: str(tmp_path / tag / "tail"),
         )
+        monkeypatch.setattr(bench, "run_host_probe", lambda a, b: {})
         monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_ROUNDS", "1")
         monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_MAX_ROUNDS", "1")
         res = bench.run_scaling(1000)
@@ -107,6 +184,7 @@ class TestScalingSummary:
             "_materialize_shared_tail",
             lambda n, w, tag: str(tmp_path / tag / "tail"),
         )
+        monkeypatch.setattr(bench, "run_host_probe", lambda a, b: {})
         monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_ROUNDS", "2")
         monkeypatch.setenv("SPARK_GRAFT_BENCH_SCALING_MAX_ROUNDS", "3")
         res = bench.run_scaling(1000)

@@ -344,6 +344,12 @@ def _replay_leg(
     r = json.loads(lines[-1][len("RESULT::"):])
     r["host_canary_sec"] = canary
     r["host_bw_canary_sec"] = bw
+    # canaries are ALSO taken after the leg: a leg runs 1-5 min and the
+    # host can flip speed mid-leg — poisoning the throughput while the
+    # before-canary still reads clean.  A pair is only credible when
+    # all its readings (before/after x both legs) agree.
+    r["host_canary_sec_after"] = _canary()
+    r["host_bw_canary_sec_after"] = _canary_bw()
     return r
 
 
@@ -559,20 +565,42 @@ _EFF_CEILING = 1.05
 _CANARY_TOL = 0.35
 
 
+def _readings(*vals) -> list:
+    """Flatten scalar-or-sequence canary readings, dropping Nones."""
+    out: list = []
+    for v in vals:
+        if v is None:
+            continue
+        if isinstance(v, (list, tuple)):
+            out.extend(x for x in v if x is not None)
+        else:
+            out.append(v)
+    return out
+
+
 def _pair_rejection(
     eff: float,
-    c_small: float,
-    c_big: float,
-    bw_small: float | None = None,
-    bw_big: float | None = None,
+    c_small,
+    c_big,
+    bw_small=None,
+    bw_big=None,
 ) -> str | None:
+    """Each canary argument is a scalar or a sequence of readings
+    (before/after each leg); a pair counts only when EVERY reading of
+    a kind agrees within tolerance — i.e. the host was stable across
+    the entire pair, not merely at the two leg starts."""
     if eff > _EFF_CEILING:
         return f"efficiency {eff} > {_EFF_CEILING} (physically impossible)"
-    lo, hi = sorted((c_small, c_big))
-    if lo > 0 and (hi - lo) / lo > _CANARY_TOL:
-        return f"canary mismatch {c_small}s vs {c_big}s (> {_CANARY_TOL:.0%})"
-    if bw_small is not None and bw_big is not None:
-        lo, hi = sorted((bw_small, bw_big))
+    alus = _readings(c_small, c_big)
+    if alus:
+        lo, hi = min(alus), max(alus)
+        if lo > 0 and (hi - lo) / lo > _CANARY_TOL:
+            return (
+                f"canary mismatch {c_small}s vs {c_big}s (> {_CANARY_TOL:.0%})"
+            )
+    bws = _readings(bw_small, bw_big)
+    if bws:
+        lo, hi = min(bws), max(bws)
         if lo > 0 and (hi - lo) / lo > _CANARY_TOL:
             return (
                 f"bandwidth canary mismatch {bw_small}s vs {bw_big}s"
@@ -655,21 +683,25 @@ class ScalingSampler:
             / (self.n_big / self.n_small),
             3,
         )
-        rejected = _pair_rejection(
-            eff,
-            small["host_canary_sec"],
-            big["host_canary_sec"],
-            small["host_bw_canary_sec"],
-            big["host_bw_canary_sec"],
-        )
+
+        def leg_readings(leg: dict, key: str) -> list:
+            vals = [leg[key]]
+            after = leg.get(key + "_after")
+            if after is not None:
+                vals.append(after)
+            return vals
+
+        alu_s = leg_readings(small, "host_canary_sec")
+        alu_b = leg_readings(big, "host_canary_sec")
+        bw_s = leg_readings(small, "host_bw_canary_sec")
+        bw_b = leg_readings(big, "host_bw_canary_sec")
+        rejected = _pair_rejection(eff, alu_s, alu_b, bw_s, bw_b)
         rnd = {
             f"local[{self.n_small}]_events_per_sec": small["events_per_sec"],
             f"local[{self.n_big}]_events_per_sec": big["events_per_sec"],
             "efficiency": eff,
-            "canaries": [small["host_canary_sec"], big["host_canary_sec"]],
-            "bw_canaries": [
-                small["host_bw_canary_sec"], big["host_bw_canary_sec"]
-            ],
+            "canaries": alu_s + alu_b,
+            "bw_canaries": bw_s + bw_b,
             "rejected": rejected,
         }
         self.rounds.append(rnd)
@@ -735,11 +767,19 @@ class ScalingSampler:
             res["scaling_efficiency_median"] = median
         else:
             # every sampled pair failed plausibility — report nothing
-            # rather than a garbage number
+            # rather than a garbage number, but surface the best raw
+            # pair WITH its rejection reason so the artifact still
+            # carries the least-bad evidence, clearly labelled
             res["speedup_N_to_4N"] = None
             res["scaling_efficiency"] = None
             res["scaling_efficiency_estimator"] = "no accepted pairs"
             res["scaling_efficiency_median"] = None
+            if self.rounds:
+                best_un = max(self.rounds, key=lambda r: r["efficiency"])
+                res["unaccepted_best"] = {
+                    "efficiency": best_un["efficiency"],
+                    "rejected": best_un["rejected"],
+                }
         return res
 
 
@@ -885,6 +925,8 @@ def main() -> None:
                 k: v["efficiency"] for k, v in scaling["host_probe"].items()
             },
         }
+        if "unaccepted_best" in scaling:
+            out["scaling"]["unaccepted_best"] = scaling["unaccepted_best"]
     if serial is not None:
         out["serial_per_window_sec"] = serial["serial_per_window_sec"]
         out["serial_fraction_at_1e9_window"] = serial[

@@ -164,6 +164,9 @@ class TestScalingSummary:
         assert res["scaling_efficiency"] is None
         assert res["rounds_rejected"] == 1
         assert res["rounds"][0]["rejected"] is not None
+        # the least-bad raw pair is surfaced, clearly labelled
+        assert res["unaccepted_best"]["efficiency"] == 1.572
+        assert res["unaccepted_best"]["rejected"] is not None
 
     def test_best_and_median_over_accepted_only(self, monkeypatch, tmp_path):
         # 3 rounds: garbage 1.571, then accepted 0.70 and 0.82

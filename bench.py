@@ -262,13 +262,22 @@ def _canary() -> float:
     same replay config measured 23s and 103s twenty minutes apart with
     <2% steal); recording a canary next to every measurement makes the
     artifacts self-documenting about host state.  Lower = faster.
+
+    Each reading is the MIN of 3 runs: a single ~0.3 s sample has ~50%
+    max/min spread even on an idle box (scheduler/GC blips are
+    one-sided — they only ever slow a fixed workload down), which made
+    the pair gate reject clean pairs; min-of-3 readings spread ~20%.
     """
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(5_000_000):
-        x += i * i
-    assert x >= 0
-    return round(time.perf_counter() - t0, 3)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i * i
+        assert x >= 0
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
 
 
 _BW_ARR = None
@@ -290,12 +299,16 @@ def _canary_bw() -> float:
     global _BW_ARR
     if _BW_ARR is None:
         _BW_ARR = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MiB
-    t0 = time.perf_counter()
-    s = 0.0
-    for _ in range(4):
-        s += float(_BW_ARR.sum())
-    assert s > 0
-    return round(time.perf_counter() - t0, 3)
+    best = None
+    for _ in range(3):  # min-of-3, same rationale as _canary()
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(4):
+            s += float(_BW_ARR.sum())
+        assert s > 0
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
 
 
 def _replay_leg(
@@ -562,7 +575,14 @@ def run_host_probe(n_small: int = 2, n_big: int = 8) -> dict:
 #     0.315 efficiency — the window was bandwidth-starved, which only
 #     the wide leg feels (it needs 4x the DRAM traffic per second).
 _EFF_CEILING = 1.05
-_CANARY_TOL = 0.35
+# calibrated against measured idle-box canary drift: consecutive
+# min-of-3 readings spread 35-40% max/min on a quiet host (slow
+# multi-minute thermal/tenant drift), while genuine window transitions
+# read 2-10x.  A tolerance below the idle drift floor rejects clean
+# pairs (a recorded 0.702-efficiency pair was lost to a 45% ALU spread
+# in an otherwise clean window); one above it still catches every real
+# transition observed.
+_CANARY_TOL = 0.5
 
 
 def _readings(*vals) -> list:

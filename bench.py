@@ -583,6 +583,12 @@ _EFF_CEILING = 1.05
 # in an otherwise clean window); one above it still catches every real
 # transition observed.
 _CANARY_TOL = 0.5
+# a leg's own per-window walls are the only signal that sees a stall
+# DURING the leg at the leg's full thread width (a recorded 8-core leg
+# ran 3x slow with clean before/after canaries — the starvation only
+# manifests at 8-thread bandwidth).  Clean legs measure ~10-12% spread
+# between their two windows; a mid-leg transition reads far above.
+_WALL_TOL = 0.6
 
 
 def _readings(*vals) -> list:
@@ -626,6 +632,19 @@ def _pair_rejection(
                 f"bandwidth canary mismatch {bw_small}s vs {bw_big}s"
                 f" (> {_CANARY_TOL:.0%})"
             )
+    return None
+
+
+def _wall_spread_rejection(walls_small, walls_big) -> str | None:
+    """Within-leg window-wall consistency (see ``_WALL_TOL``)."""
+    for name, walls in (("small", walls_small), ("big", walls_big)):
+        if walls and len(walls) > 1 and min(walls) > 0:
+            spread = (max(walls) - min(walls)) / min(walls)
+            if spread > _WALL_TOL:
+                return (
+                    f"{name} leg window walls diverge {walls}s"
+                    f" (> {_WALL_TOL:.0%}: mid-leg host transition)"
+                )
     return None
 
 
@@ -716,12 +735,20 @@ class ScalingSampler:
         bw_s = leg_readings(small, "host_bw_canary_sec")
         bw_b = leg_readings(big, "host_bw_canary_sec")
         rejected = _pair_rejection(eff, alu_s, alu_b, bw_s, bw_b)
+        if rejected is None:
+            rejected = _wall_spread_rejection(
+                small.get("window_walls"), big.get("window_walls")
+            )
         rnd = {
             f"local[{self.n_small}]_events_per_sec": small["events_per_sec"],
             f"local[{self.n_big}]_events_per_sec": big["events_per_sec"],
             "efficiency": eff,
             "canaries": alu_s + alu_b,
             "bw_canaries": bw_s + bw_b,
+            "window_walls": {
+                f"local[{self.n_small}]": small.get("window_walls"),
+                f"local[{self.n_big}]": big.get("window_walls"),
+            },
             "rejected": rejected,
         }
         self.rounds.append(rnd)

@@ -104,6 +104,21 @@ class TestDegradedWindowGate:
         assert res["scaling_efficiency"] == 0.7
 
 
+class TestWallSpreadGate:
+    def test_mid_leg_transition_rejected(self):
+        # clean legs measure ~10-12% spread between their two windows;
+        # a leg that stalls mid-run (e.g. 18s then 60s) straddled a
+        # host transition invisible to the before/after canaries
+        reason = bench._wall_spread_rejection([54.8, 61.1], [18.2, 60.4])
+        assert reason is not None and "mid-leg" in reason
+
+    def test_consistent_walls_accepted(self):
+        assert bench._wall_spread_rejection([54.8, 61.1], [18.2, 20.4]) is None
+
+    def test_missing_or_single_walls_skipped(self):
+        assert bench._wall_spread_rejection(None, [10.0]) is None
+
+
 class TestHostProbe:
     def test_structure_and_efficiency_math(self, monkeypatch):
         # host delivers ALU ~linearly but DRAM only 1.6x from 2->8

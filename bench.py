@@ -612,26 +612,26 @@ def _pair_rejection(
     bw_big=None,
 ) -> str | None:
     """Each canary argument is a scalar or a sequence of readings
-    (before/after each leg); a pair counts only when EVERY reading of
-    a kind agrees within tolerance — i.e. the host was stable across
-    the entire pair, not merely at the two leg starts."""
+    (before/after each leg).  Each LEG is reduced to its MIN reading —
+    its cleanest estimate of the window it ran in (interference on a
+    fixed workload is one-sided) — and the two legs' minima must agree
+    within tolerance: this detects the host changing speed BETWEEN the
+    legs.  A change DURING a leg is the wall-spread gate's job
+    (``_wall_spread_rejection``) — comparing max/min across all
+    readings here double-counted one-sided blips and rejected clean
+    pairs."""
     if eff > _EFF_CEILING:
         return f"efficiency {eff} > {_EFF_CEILING} (physically impossible)"
-    alus = _readings(c_small, c_big)
-    if alus:
-        lo, hi = min(alus), max(alus)
+    for label, a, b in (
+        ("canary", c_small, c_big),
+        ("bandwidth canary", bw_small, bw_big),
+    ):
+        ra, rb = _readings(a), _readings(b)
+        if not ra or not rb:
+            continue
+        lo, hi = sorted((min(ra), min(rb)))
         if lo > 0 and (hi - lo) / lo > _CANARY_TOL:
-            return (
-                f"canary mismatch {c_small}s vs {c_big}s (> {_CANARY_TOL:.0%})"
-            )
-    bws = _readings(bw_small, bw_big)
-    if bws:
-        lo, hi = min(bws), max(bws)
-        if lo > 0 and (hi - lo) / lo > _CANARY_TOL:
-            return (
-                f"bandwidth canary mismatch {bw_small}s vs {bw_big}s"
-                f" (> {_CANARY_TOL:.0%})"
-            )
+            return f"{label} mismatch {a}s vs {b}s (> {_CANARY_TOL:.0%})"
     return None
 
 

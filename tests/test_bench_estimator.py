@@ -42,6 +42,25 @@ class TestPairRejection:
     def test_accepts_matching_bandwidth_canaries(self):
         assert bench._pair_rejection(0.78, 0.25, 0.27, 0.12, 0.13) is None
 
+    def test_one_sided_blip_within_leg_does_not_reject(self):
+        # legs are compared by their MIN reading (cleanest estimate);
+        # a single slow sample inside one leg's before/after set is a
+        # one-sided blip, not a window change between the legs — this
+        # exact shape ([0.137, 0.091] vs [0.096, 0.098]) was falsely
+        # rejected by the max/min-over-all-readings gate
+        assert (
+            bench._pair_rejection(
+                0.53, [0.2, 0.26], [0.25, 0.24], [0.137, 0.091], [0.096, 0.098]
+            )
+            is None
+        )
+
+    def test_between_leg_window_change_still_rejected(self):
+        reason = bench._pair_rejection(
+            0.5, [0.2, 0.21], [0.45, 0.44], [0.1, 0.1], [0.1, 0.1]
+        )
+        assert reason is not None and "canary mismatch" in reason
+
 
 class TestDegradedWindowGate:
     def test_pair_in_degraded_window_rejected_post_hoc(

@@ -203,18 +203,39 @@ def compact_tombstones(table: SnapshotTable, watermark_ts) -> int:
     event with a smaller version can still arrive, so the tombstone is
     dead weight.  Rewrites only buckets that actually hold purgeable
     tombstones.  Returns the number of buckets compacted.
+
+    The probe is METADATA-ONLY: every commit records exact per-bucket
+    ``(n tombstones, min tombstone version)`` in the snapshot, derived
+    from the written files' parquet footers (see ``TOMB_TS_COL`` in
+    ``table.snapshot`` — null_count arithmetic, zero data pages), so a
+    maintenance cycle on a 10^10-row table touches no data files when
+    nothing is purgeable.  Buckets written before tombstone tracking
+    (no ``tomb`` entry) fall back to a data probe restricted to those
+    buckets only.
     """
     if TOMBSTONE not in [f.name for f in table.schema.fields]:
         return 0
-    full = table.read(include_internal=True)
     dead = F.col(TOMBSTONE) & (F.col(VERSION_TS) < F.lit(watermark_ts))
-    hit = (
-        full.filter(dead)
-        .select(table.bucket_of().alias("b"))
-        .distinct()
-        .collect()
-    )
-    buckets = sorted(r["b"] for r in hit)
+    hits: set[int] = set()
+    unknown: list[int] = []
+    for b, entry in table.bucket_meta().items():
+        t = entry.get("tomb")
+        if t is None:
+            unknown.append(b)
+        elif t["n"] > 0 and t["min_ts"] is not None and (
+            dt.datetime.fromisoformat(t["min_ts"]) < watermark_ts
+        ):
+            hits.add(b)
+    if unknown:
+        probe = (
+            table.read(unknown, include_internal=True)
+            .filter(dead)
+            .select(table.bucket_of().alias("b"))
+            .distinct()
+            .collect()
+        )
+        hits.update(int(r["b"]) for r in probe)
+    buckets = sorted(hits)
     if not buckets:
         return 0
     kept = table.read(buckets, include_internal=True).filter(~dead)

@@ -275,14 +275,23 @@ def embedding_candidate_pairs(
     ``(table, bucket, id)``, never the embedding vectors (the round-2
     version shipped full vectors on both sides of the bucket self-join
     — O(rows × tables × dim × 2) shuffle bytes, the dominant cost at
-    corpus scale).  Same hashed-compact pattern as
-    ``doc_dedup.minhash_lsh_candidates_from_hashes``.
+    corpus scale).
+
+    Pair expansion is a STREAMING self-join of the compact
+    ``(table, bucket, id)`` frame on ``(table, bucket)`` with
+    ``id_a < id_b`` — pairs flow through the join iterator one at a
+    time.  The earlier ``collect_list → transform×transform`` form
+    (still used by ``doc_dedup`` where caps are ≤ a few hundred)
+    materialized the full B×B struct array inside ONE row's expression
+    evaluation: at ``max_bucket=10_000`` a single hot bucket builds
+    ~10^8 structs (multi-GB) before the filter prunes it — an executor
+    OOM, not a spill.
 
     ``max_bucket`` drops degenerate hot buckets (a bucket of B rows
-    expands to B²/2 pairs; with ``n_bits`` too small for the corpus a
-    single bucket approaches n/2^n_bits rows).  Size ``n_bits`` ≈
-    log2(corpus / desired_bucket) and raise ``num_tables`` to buy the
-    recall back.
+    still EMITS B²/2 pairs downstream; with ``n_bits`` too small for
+    the corpus a single bucket approaches n/2^n_bits rows).  Size
+    ``n_bits`` ≈ log2(corpus / desired_bucket) and raise ``num_tables``
+    to buy the recall back.
     """
     dim = len(corpus.select(vec_col).first()[0])
     tables = [_hyperplanes(dim, n_bits, seed + t) for t in range(num_tables)]
@@ -291,31 +300,21 @@ def embedding_candidate_pairs(
         F.col(id_col).alias("id"),
         F.posexplode("sigs").alias("table", "bucket"),
     )
-    buckets = (
+    keep = (
         exploded.groupBy("table", "bucket")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("table", "bucket")
     )
+    kept = exploded.join(keep, ["table", "bucket"])
     return (
-        buckets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "ids",
-                            lambda a: F.transform(
-                                "ids",
-                                lambda b: F.struct(
-                                    a.alias("id_a"), b.alias("id_b")
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["id_a"] < p["id_b"],
-                )
-            ).alias("p")
+        kept.select("table", "bucket", F.col("id").alias("id_a"))
+        .join(
+            kept.select("table", "bucket", F.col("id").alias("id_b")),
+            ["table", "bucket"],
         )
-        .select("p.id_a", "p.id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 

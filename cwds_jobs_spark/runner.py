@@ -197,11 +197,13 @@ class CdcJobRunner:
             pending = read_changes(
                 self.spark, self.cfg.changes_dir, after=container.savepoint
             )
+            planned = False
             if cap:
                 if boundaries:
                     pending = pending.filter(
                         F.col("op_ts") <= F.lit(boundaries.pop(0))
                     )
+                    planned = True
                 elif boundaries is None:
                     pending = self._bound_window(pending, cap)
                 # boundaries == []: planned windows drained — one
@@ -215,6 +217,14 @@ class CdcJobRunner:
                 ).collect()[0]
                 hi, n_window = probe["m"], int(probe["n"])
                 if hi is None:
+                    if planned:
+                        # an empty PLANNED window (savepoint restored
+                        # past this boundary, or a footer-stats
+                        # misestimate) is not end-of-tail: advance to
+                        # the next boundary / the final uncapped pass
+                        # instead of reporting a complete drain while
+                        # events remain.
+                        continue
                     break  # empty batch terminates (BatchProcessor.java:46-51)
                 batch_id = container.batch_id + 1
                 stats = merge_apply(
@@ -247,6 +257,12 @@ class CdcJobRunner:
                         batch_id, stats.get("committed_batch", batch_id)
                     )
                     self.sp_svc.write(container)
+                    # the restored watermark may sit PAST boundaries
+                    # planned before the crash was discovered; a stale
+                    # boundary would plan an empty window (handled
+                    # above, but pointless) — drop them here.
+                    while boundaries and boundaries[0] <= container.savepoint.ts:
+                        boundaries.pop(0)
                     continue
                 container.savepoint = st.SavePoint(ts=hi["op_ts"], lsn=hi["lsn"])
                 container.batch_id = batch_id

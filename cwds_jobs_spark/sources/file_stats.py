@@ -38,6 +38,13 @@ class FileStat:
     rows: int
     min_ts: dt.datetime | None  # None = no usable statistics
     max_ts: dt.datetime | None
+    # per-ROW-GROUP (rows, min_ts, max_ts) — the finer planning unit.
+    # Files of a parallel bulk write often overlap each other in time
+    # while each file's row groups stay narrow; planning from row
+    # groups keeps the footer fast path alive for that layout
+    # (reference O2/O3 probe semantics, CwsChangedIdentifierDao.java:
+    # 45-60).  None = not collected (hand-built stats in tests).
+    row_groups: "list[tuple[int, dt.datetime, dt.datetime]] | None" = None
 
 
 def list_parquet_files(changes_dir: str) -> list[str]:
@@ -60,8 +67,9 @@ def _to_naive_utc(v) -> dt.datetime | None:
 
 
 def _stats_for_paths(paths, ts_col: str) -> list[tuple]:
-    """Footer-only reads: (path, rows, min_ts, max_ts) per file;
-    min/max are None when any row group lacks usable statistics."""
+    """Footer-only reads: (path, rows, min_ts, max_ts, row_groups) per
+    file; min/max (and row_groups) are None when any row group lacks
+    usable statistics."""
     import pyarrow.parquet as pq
 
     out = []
@@ -74,20 +82,25 @@ def _stats_for_paths(paths, ts_col: str) -> list[tuple]:
                 if rg0.column(i).path_in_schema == ts_col:
                     idx = i
                     break
-        mn = mx = None
+        rgs: list | None = [] if idx is not None else None
         if idx is not None:
             for g in range(md.num_row_groups):
-                st = md.row_group(g).column(idx).statistics
+                rg = md.row_group(g)
+                st = rg.column(idx).statistics
                 if st is None or not st.has_min_max:
-                    mn = mx = None
+                    rgs = None
                     break
                 lo, hi = _to_naive_utc(st.min), _to_naive_utc(st.max)
                 if lo is None or hi is None:
-                    mn = mx = None
+                    rgs = None
                     break
-                mn = lo if mn is None else min(mn, lo)
-                mx = hi if mx is None else max(mx, hi)
-        out.append((p, md.num_rows, mn, mx))
+                rgs.append((rg.num_rows, lo, hi))
+        if rgs:
+            mn = min(r[1] for r in rgs)
+            mx = max(r[2] for r in rgs)
+        else:
+            mn = mx = rgs = None
+        out.append((p, md.num_rows, mn, mx, rgs))
     return out
 
 
@@ -106,7 +119,16 @@ def collect_file_stats(
     if len(files) <= _DRIVER_SIDE_MAX_FILES:
         rows = _stats_for_paths(files, ts_col)
     else:
+        import json
+
         import pandas as pd
+
+        def _rg_json(rgs) -> str | None:
+            if rgs is None:
+                return None
+            return json.dumps(
+                [[n, lo.isoformat(), hi.isoformat()] for n, lo, hi in rgs]
+            )
 
         def read_footers(parts):
             for pdf in parts:
@@ -114,7 +136,8 @@ def collect_file_stats(
                     continue
                 r = _stats_for_paths(pdf["path"].tolist(), ts_col)
                 yield pd.DataFrame(
-                    r, columns=["path", "rows", "min_ts", "max_ts"]
+                    [(p, n, mn, mx, _rg_json(rgs)) for p, n, mn, mx, rgs in r],
+                    columns=["path", "rows", "min_ts", "max_ts", "rgs"],
                 )
 
         pdf = (
@@ -122,7 +145,8 @@ def collect_file_stats(
             .repartition(min(len(files) // 8 + 1, 256))
             .mapInPandas(
                 read_footers,
-                schema="path string, rows long, min_ts timestamp, max_ts timestamp",
+                schema="path string, rows long, min_ts timestamp,"
+                " max_ts timestamp, rgs string",
             )
             .toPandas()
         )
@@ -132,10 +156,16 @@ def collect_file_stats(
                 int(r.rows),
                 _to_naive_utc(None if pd.isna(r.min_ts) else r.min_ts.to_pydatetime()),
                 _to_naive_utc(None if pd.isna(r.max_ts) else r.max_ts.to_pydatetime()),
+                None
+                if r.rgs is None
+                else [
+                    (int(n), dt.datetime.fromisoformat(lo), dt.datetime.fromisoformat(hi))
+                    for n, lo, hi in json.loads(r.rgs)
+                ],
             )
             for r in pdf.itertuples()
         ]
-    return [FileStat(p, n, mn, mx) for (p, n, mn, mx) in rows]
+    return [FileStat(p, n, mn, mx, rgs) for (p, n, mn, mx, rgs) in rows]
 
 
 def plan_window_boundaries(
@@ -146,43 +176,66 @@ def plan_window_boundaries(
     """Timestamp boundaries cutting the un-applied tail into ~``cap``-row
     windows, derived purely from footer stats.
 
+    The planning unit is the parquet ROW GROUP when per-row-group stats
+    were collected, else the file: a parallel bulk write produces files
+    that each span the whole time range (file-granular boundaries would
+    collapse into one giant window) while each file's row groups stay
+    narrow, so row-group units keep the zero-scan fast path alive for
+    that layout.
+
     Returns None when footer stats cannot bound windows near the cap —
-    a file lacks op_ts statistics, or the tail's files OVERLAP in time
-    (every file of an unsorted bulk write spans the whole range, so
-    file-granular boundaries would collapse into one giant window; a
-    log-shipped tail of time-contiguous chunks is the layout this fast
-    path serves).  The caller then falls back to the data-scan
-    quantile probe.  Returns [] when no file can hold events after
-    ``after_ts``.  Boundaries are strictly increasing; the last is the
-    tail's global max op_ts, so the final window drains everything
-    planned.  Files straddling a boundary or the savepoint contribute
-    their full row count when their file completes (the cap is an
-    approximate bound, not exact).
+    a file lacks op_ts statistics, or the units THEMSELVES overlap so
+    much that a window exceeds 4× the cap (a genuinely shuffled bulk
+    write, where every row group also spans the range).  The caller
+    then falls back to the data-scan quantile probe.  Returns [] when
+    no unit can hold events after ``after_ts``.  Boundaries are
+    strictly increasing; the last is the tail's global max op_ts, so
+    the final window drains everything planned.
+
+    Savepoint handling: units with ``max_ts <= after_ts`` are fully
+    applied and excluded (equal-ts higher-lsn stragglers are drained by
+    the caller's final uncapped pass); a unit STRADDLING the savepoint
+    contributes its row count pro-rated by the fraction of its
+    [min_ts, max_ts] span above ``after_ts`` — counting its full rows
+    oversized the first resume window by the already-applied remainder
+    (the bound is approximate either way; correctness never depends on
+    the cut because apply is idempotent LWW).
     """
-    live = [s for s in stats if s.max_ts is None or after_ts is None or s.max_ts >= after_ts]
-    if any(s.min_ts is None or s.max_ts is None for s in live):
+    if any(s.min_ts is None or s.max_ts is None for s in stats):
         return None
-    if not live:
+    # flatten to planning units: (estimated pending rows, min_ts, max_ts)
+    units: list[tuple[float, dt.datetime, dt.datetime]] = []
+    for s in stats:
+        for rows, lo, hi in s.row_groups or [(s.rows, s.min_ts, s.max_ts)]:
+            if after_ts is not None and hi <= after_ts:
+                continue  # fully applied
+            est: float = rows
+            if after_ts is not None and lo < after_ts:
+                span = (hi - lo).total_seconds()
+                if span > 0:
+                    frac = (hi - after_ts).total_seconds() / span
+                    est = max(1.0, rows * frac)
+            units.append((est, lo, hi))
+    if not units:
         return []
-    # sweep candidate boundaries (file max_ts ascending); a boundary b
-    # closes a window holding every not-yet-assigned row of files with
+    # sweep candidate boundaries (unit max_ts ascending); a boundary b
+    # closes a window holding every not-yet-assigned row of units with
     # max_ts <= b
-    live.sort(key=lambda s: s.max_ts)
+    units.sort(key=lambda u: u[2])
     boundaries: list[dt.datetime] = []
-    acc = 0
-    worst = 0
-    for i, s in enumerate(live):
-        acc += s.rows
-        is_last = i == len(live) - 1
-        next_differs = is_last or live[i + 1].max_ts > s.max_ts
+    acc = 0.0
+    worst = 0.0
+    for i, (rows, _lo, hi) in enumerate(units):
+        acc += rows
+        is_last = i == len(units) - 1
+        next_differs = is_last or units[i + 1][2] > hi
         if (acc >= cap and next_differs) or is_last:
-            if after_ts is None or s.max_ts > after_ts:
-                boundaries.append(s.max_ts)
-                worst = max(worst, acc)
-                acc = 0
+            boundaries.append(hi)
+            worst = max(worst, acc)
+            acc = 0.0
     if worst > 4 * cap:
-        return None  # overlapping files: boundaries collapsed
-    # dedupe while preserving order (equal max_ts files collapse)
+        return None  # overlapping units: boundaries collapsed
+    # dedupe while preserving order (equal max_ts units collapse)
     seen: set = set()
     out = []
     for b in boundaries:

@@ -173,14 +173,19 @@ def sessionize_batch(events: DataFrame, gap: dt.timedelta = dt.timedelta(minutes
     from pyspark.sql import Window
 
     w = Window.partitionBy("conv_id").orderBy("op_ts", "lsn")
-    gap_s = gap.total_seconds()
+    # millisecond arithmetic, matching the streaming path's gap compare
+    # (_session_fn works in unix millis): unix_timestamp() truncates to
+    # whole seconds, so a sub-second gap boundary would split here yet
+    # merge in the stream, breaking the `drain ∪ open_sessions` union
+    # contract documented on sessionize_stream
+    gap_ms = int(gap.total_seconds() * 1000)
     with_id = (
         events.withColumn("_prev", F.lag("op_ts").over(w))
         .withColumn(
             "_new",
             (
                 F.col("_prev").isNull()
-                | (F.unix_timestamp("op_ts") - F.unix_timestamp("_prev") > gap_s)
+                | (F.unix_millis("op_ts") - F.unix_millis("_prev") > gap_ms)
             ).cast("long"),
         )
         .withColumn("_sid", F.sum("_new").over(w))

@@ -51,6 +51,62 @@ from pyspark.sql import types as T
 
 BUCKET_COL = "_bucket"
 FORMAT_VERSION = 1
+# physical-only helper column written next to the data (never part of
+# the logical schema — reads use an explicit .schema() so parquet
+# ignores it): `_op_ts` when the row is a tombstone, else NULL.  Its
+# parquet FOOTER stats then carry exact per-bucket tombstone facts for
+# free: row-group null_count gives the exact tombstone count, and
+# min/max (computed over non-null values only) give the exact oldest
+# tombstone version — so `compact_tombstones` can pick purgeable
+# buckets from snapshot metadata without scanning any data pages.
+TOMB_TS_COL = "_tomb_ts"
+
+
+def _tombstone_footer_stats(
+    table_root: str, files: list[str]
+) -> "dict | None":
+    """Exact ``{"n": tombstones, "min_ts": iso-or-None}`` for a bucket's
+    freshly written files, read from parquet footers only (zero data
+    pages).  None when any row group lacks the column or usable stats
+    (caller then records nothing — the maintenance probe falls back to
+    a data scan for that bucket)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    def naive(v):
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v if isinstance(v, _dt.datetime) else None
+
+    n = 0
+    mn: _dt.datetime | None = None
+    for f in files:
+        md = pq.ParquetFile(os.path.join(table_root, f)).metadata
+        idx = None
+        if md.num_row_groups:
+            rg0 = md.row_group(0)
+            for i in range(rg0.num_columns):
+                if rg0.column(i).path_in_schema == TOMB_TS_COL:
+                    idx = i
+                    break
+        if idx is None:
+            return None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = rg.column(idx).statistics
+            if st is None or st.null_count is None:
+                return None
+            k = rg.num_rows - st.null_count
+            if k:
+                if not st.has_min_max:
+                    return None
+                lo = naive(st.min)
+                if lo is None:
+                    return None
+                n += int(k)
+                mn = lo if mn is None or lo < mn else mn
+    return {"n": n, "min_ts": mn.isoformat() if mn is not None else None}
 
 
 def bucket_expr(num_buckets: int, col: str = "conv_id"):
@@ -144,6 +200,11 @@ class SnapshotTable:
 
     def bucket_of(self, col: str | None = None):
         return bucket_expr(self.num_buckets, col or self.key_cols[0])
+
+    def bucket_meta(self) -> dict[int, dict]:
+        """Per-bucket snapshot metadata (schema_id, files, and — when
+        recorded at write time — ``tomb`` tombstone stats)."""
+        return {int(b): e for b, e in self._snap["buckets"].items()}
 
     # ---------------- read ----------------
 
@@ -250,6 +311,16 @@ class SnapshotTable:
         commit_dir = f"data/commit-{snap['version']:09d}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, commit_dir)
         out = df.withColumn(BUCKET_COL, self.bucket_of())
+        track_tombs = "_deleted" in df.columns and "_op_ts" in df.columns
+        if track_tombs:
+            # physical-only column (not interned into the schema
+            # catalog; reads pass an explicit .schema so it's ignored)
+            # whose footer stats make tombstone maintenance
+            # metadata-only — see TOMB_TS_COL
+            out = out.withColumn(
+                TOMB_TS_COL,
+                F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.col("_op_ts")),
+            )
         n_parts = max(1, len(affected) or self.num_buckets) * max(
             1, write_tasks_per_bucket
         )
@@ -264,17 +335,26 @@ class SnapshotTable:
             .parquet(abs_dir)
         )
         per_bucket = _list_parquet(abs_dir, self.path)
+
+        def entry(files: list[str]) -> dict:
+            e = {"schema_id": int(sid), "files": files}
+            if track_tombs:
+                t = _tombstone_footer_stats(self.path, files)
+                if t is not None:
+                    e["tomb"] = t
+            return e
+
         for b in affected:
             files = per_bucket.get(b, [])
             if files:
-                snap["buckets"][str(b)] = {"schema_id": int(sid), "files": files}
+                snap["buckets"][str(b)] = entry(files)
             else:
                 snap["buckets"].pop(str(b), None)
         # rows may hash to buckets the caller did not claim (shouldn't
         # happen in merge, but initial load claims all buckets)
         for b, files in per_bucket.items():
             if b not in affected:
-                snap["buckets"][str(b)] = {"schema_id": int(sid), "files": files}
+                snap["buckets"][str(b)] = entry(files)
         for k, v in (ledger_update or {}).items():
             snap["ledger"][k] = int(v)
         if ledger_watermark:
@@ -302,11 +382,26 @@ class SnapshotTable:
         commit_dir = f"data/commit-{snap['version']:09d}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, commit_dir)
         out = full.withColumn(BUCKET_COL, bucket_expr(new_num_buckets, self.key_cols[0]))
+        track_tombs = "_deleted" in full.columns and "_op_ts" in full.columns
+        if track_tombs:
+            out = out.withColumn(
+                TOMB_TS_COL,
+                F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.col("_op_ts")),
+            )
         n_parts = new_num_buckets * max(1, write_tasks_per_bucket)
         out = out.repartition(n_parts, F.col(BUCKET_COL))
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(abs_dir)
+
+        def entry(files: list[str]) -> dict:
+            e = {"schema_id": int(sid), "files": files}
+            if track_tombs:
+                t = _tombstone_footer_stats(self.path, files)
+                if t is not None:
+                    e["tomb"] = t
+            return e
+
         snap["buckets"] = {
-            str(b): {"schema_id": int(sid), "files": files}
+            str(b): entry(files)
             for b, files in _list_parquet(abs_dir, self.path).items()
         }
         self._write_snapshot(snap)

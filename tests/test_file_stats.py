@@ -5,6 +5,7 @@ overlapping files — the scale successor to runner._bound_window's
 per-window count + approxQuantile over the whole pending tail."""
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -92,6 +93,47 @@ class TestPlan:
         stats = [self._stat(0, 50, 0, 9)]
         assert plan_window_boundaries(stats, _ts(100), cap=10) == []
 
+    def test_straddling_file_prorated_not_full_count(self):
+        """A mostly-applied file straddling the savepoint contributes
+        ~its pending fraction, not its full row count (r3 advisory:
+        full-count tripped the worst>4*cap fallback on resume-heavy
+        tails — exactly where the fast path matters most)."""
+        stats = [FileStat("f0", 1000, _ts(0), _ts(999))]
+        # savepoint at t=899: ~100 of 1000 rows pending.  Full-count
+        # would read worst=1000 > 4*150 and bail to the quantile probe.
+        bs = plan_window_boundaries(stats, _ts(899), cap=150)
+        assert bs == [_ts(999)]
+
+    def test_fully_applied_boundary_file_excluded(self):
+        """max_ts == after_ts means every row is <= the savepoint ts —
+        nothing pending in this unit (equal-ts lsn stragglers are the
+        final uncapped pass's job); it must not inflate the first
+        window's estimate."""
+        stats = [
+            FileStat("f0", 10_000, _ts(0), _ts(49)),
+            FileStat("f1", 100, _ts(50), _ts(99)),
+        ]
+        bs = plan_window_boundaries(stats, _ts(49), cap=150)
+        # old behavior: f0's 10k rows counted -> worst > 4*cap -> None
+        assert bs == [_ts(99)]
+
+    def test_row_group_units_plan_overlapping_files(self):
+        """Parallel bulk write: every FILE spans the whole range (file-
+        granular boundaries collapse into one giant window) but each
+        file's ROW GROUPS are narrow — planning from row-group stats
+        keeps the zero-scan fast path alive."""
+        rgs = [(100, _ts(q * 25), _ts(q * 25 + 24)) for q in range(4)]
+        stats = [
+            FileStat("f0", 400, _ts(0), _ts(99), row_groups=rgs),
+            FileStat("f1", 400, _ts(0), _ts(99), row_groups=rgs),
+        ]
+        bs = plan_window_boundaries(stats, None, cap=150)
+        assert bs == [_ts(24), _ts(49), _ts(74), _ts(99)]
+        # the same layout WITHOUT row-group stats must still bail out
+        flat = [FileStat("f0", 400, _ts(0), _ts(99)),
+                FileStat("f1", 400, _ts(0), _ts(99))]
+        assert plan_window_boundaries(flat, None, cap=150) is None
+
 
 class TestRunnerIntegration:
     def _runner(self, spark, ws, **kw):
@@ -135,6 +177,51 @@ class TestRunnerIntegration:
         assert_matches(r.table().read(), expected)
         hi = max(more, key=lambda e: (e.op_ts, e.lsn))
         assert r.sp_svc.read().savepoint.as_tuple() == (hi.op_ts, hi.lsn)
+
+    def test_overlapping_bulk_tail_planned_from_row_groups(
+        self, spark, ws, monkeypatch
+    ):
+        """Parallel-bulk-write layout: each tail file spans the whole
+        op_ts range (file-granular planning collapses) but row groups
+        inside each file are narrow — the drain must still plan every
+        window from FOOTERS, never the quantile probe."""
+        rows0 = _write_contiguous_tail(spark, ws["changes"], 1, 50)
+        r = self._runner(spark, ws, max_events_per_window=150)
+        r.run()  # initial + cutover
+
+        # 900 later events dealt round-robin into 3 files: each file is
+        # internally time-sorted and spans the full range; a tiny
+        # parquet block size forces multiple narrow row groups per file
+        bulk = synth_changes(spark, 900, n_convs=20, start_lsn=50)
+        for i in range(3):
+            (
+                bulk.filter(F.col("lsn") % 3 == i)
+                .coalesce(1)
+                .sortWithinPartitions("op_ts", "lsn")
+                .write.option("parquet.block.size", 4096)
+                .parquet(f"{ws['changes']}/bulk{i}")
+            )
+        stats = collect_file_stats(spark, ws["changes"])
+        bulk_stats = [
+            s for s in stats
+            if os.path.basename(os.path.dirname(s.path)).startswith("bulk")
+        ]
+        assert len(bulk_stats) == 3
+        assert all(
+            s.row_groups is not None and len(s.row_groups) > 1
+            for s in bulk_stats
+        ), [len(s.row_groups or []) for s in bulk_stats]
+
+        def boom(self_, pending, cap):
+            raise AssertionError("quantile probe ran — row-group plan unused")
+
+        monkeypatch.setattr(CdcJobRunner, "_bound_window", boom)
+        out = r.run()
+        assert out["events"] == 900 and out["windows"] >= 3
+        expected = replay(
+            [e for e in rows0 if e.op != "D"] + list(bulk.collect())
+        )
+        assert_matches(r.table().read(), expected)
 
     def test_overlapping_tail_still_converges_via_probe(self, spark, ws):
         """Unsorted bulk tail → planner returns None → quantile-probe

@@ -208,6 +208,76 @@ def test_capped_window_plan_has_no_global_sort(spark, ws):
     assert in_window == full_group  # group not split
 
 
+def test_ledger_skip_restore_skips_stale_planned_boundaries(spark, ws):
+    """Capped drain + crash-after-commit replay: the savepoint restored
+    from the committed watermark can sit PAST several boundaries that
+    were planned at loop start.  The drain must skip the stale
+    boundaries and still apply everything pending (r3 advisory: the old
+    loop filtered the next window to a stale boundary, got an empty
+    frame, and reported a complete drain while events remained)."""
+    w0 = synth_changes(spark, 300, n_convs=10)
+    write_changes_window(w0, ws["changes"], "w0")
+    r = _runner(spark, ws, max_events_per_window=40)
+    r.run()  # initial + cutover
+
+    from cwds_jobs_spark.operators.merge import merge_apply
+
+    # one committed-but-unsavepointed batch spanning THREE tail files
+    # (three planned boundaries), then a crash before sp_svc.write()
+    w1 = synth_changes(spark, 120, n_convs=10, start_lsn=300)
+    rows = sorted(w1.collect(), key=lambda e: (e.op_ts, e.lsn))
+    for i in range(3):
+        write_changes_window(
+            spark.createDataFrame(rows[i * 40 : (i + 1) * 40], CHANGES_SCHEMA),
+            ws["changes"], f"w1_{i}",
+        )
+    hi1 = rows[-1]
+    merge_apply(
+        r.table(),
+        spark.read.option("recursiveFileLookup", "true").parquet(
+            *[ws["changes"] + f"/w1_{i}" for i in range(3)]
+        ),
+        job_id="job1", batch_id=1, watermark=(hi1.op_ts, hi1.lsn),
+    )
+    w2 = synth_changes(spark, 50, n_convs=10, start_lsn=420)
+    write_changes_window(w2, ws["changes"], "w2")
+
+    out = r.run()  # restart: skip restores savepoint past 2 boundaries
+    assert out["events"] == 50  # ONLY w2 — and w2 is NOT silently lost
+    expected = replay(
+        [e for e in w0.collect() if e.op != "D"] + rows + list(w2.collect())
+    )
+    assert_matches(r.table().read(), expected)
+    hi2 = max(w2.collect(), key=lambda e: (e.op_ts, e.lsn))
+    assert r.sp_svc.read().savepoint.as_tuple() == (hi2.op_ts, hi2.lsn)
+
+
+def test_empty_planned_window_advances_to_next_boundary(spark, ws, monkeypatch):
+    """An empty PLANNED window is not end-of-tail: the loop must advance
+    to the next boundary instead of terminating with pending events."""
+    write_changes_window(synth_changes(spark, 300, n_convs=10), ws["changes"], "w0")
+    r = _runner(spark, ws, max_events_per_window=50)
+    r.run()  # initial + cutover
+    sp = r.sp_svc.read().savepoint
+    w1 = synth_changes(spark, 100, n_convs=10, start_lsn=300)
+    write_changes_window(w1, ws["changes"], "w1")
+
+    import cwds_jobs_spark.sources.file_stats as fs
+
+    real = fs.plan_window_boundaries
+
+    def with_bogus_first(stats, after_ts, cap):
+        bs = real(stats, after_ts, cap)
+        if bs:
+            # a boundary at the savepoint itself: its window is empty
+            bs.insert(0, sp.ts)
+        return bs
+
+    monkeypatch.setattr(fs, "plan_window_boundaries", with_bogus_first)
+    out = r.run()
+    assert out["events"] == 100
+
+
 def test_crash_between_commit_and_savepoint_never_skips_events(spark, ws):
     """Crash AFTER the table/ledger commit but BEFORE the savepoint
     write, with new tail files arriving before the restart: the rerun's

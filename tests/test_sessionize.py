@@ -91,6 +91,34 @@ def test_batch_oracle_agrees_on_closed_sessions(spark, ws):
     assert len(out) == 5  # incl. open-ended C and D singletons
 
 
+def test_batch_oracle_splits_at_subsecond_gap(spark):
+    """sessionize_batch must compare gaps in MILLISECONDS like the
+    streaming path (_session_fn): unix_timestamp() truncates to whole
+    seconds, so a 1050ms gap against a 1000ms threshold read as 1s ≤ 1s
+    and merged — disagreeing with the stream and breaking the
+    `drain ∪ open_sessions` union contract."""
+    t = lambda ms: T0 + dt.timedelta(milliseconds=ms)
+    rows = [
+        ("A", 0, "I", t(0), 0, "user", "x", None, t(0)),
+        ("A", 1, "I", t(900), 1, "user", "y", None, t(900)),
+        # 1050ms after the previous event: > 1s gap, must split (the
+        # truncated-seconds diff is exactly 1, which would merge)
+        ("A", 2, "I", t(1950), 2, "user", "z", None, t(1950)),
+    ]
+    df = spark.createDataFrame(rows, CHANGES_SCHEMA)
+    out = sorted(
+        sessionize_batch(df, gap=dt.timedelta(seconds=1)).collect(),
+        key=lambda r: r.session_start,
+    )
+    assert len(out) == 2
+    assert (out[0].session_start, out[0].session_end, out[0].n_events) == (
+        t(0), t(900), 2
+    )
+    assert (out[1].session_start, out[1].session_end, out[1].n_events) == (
+        t(1950), t(1950), 1
+    )
+
+
 class _FakeState:
     """Minimal GroupState stand-in for unit-testing _session_fn."""
 

@@ -54,14 +54,12 @@ def test_oracle_parity(spark, ddb, name):
     assert a == b, f"value mismatch, first diffs: {diff}"
 
 
-@pytest.mark.parametrize(
-    "name",
-    sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql())),
-)
-def test_rows_only_queries_run(spark, name):
-    df = entry_mod.queries()[name](spark, SF)
-    assert df.columns  # stable schema
-    assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """Regression guard replacing the round-2 rows-only escape hatch:
+    every queries() entry must ship an oracle_sql() counterpart (the
+    external gate's rows-only path is a weaker check we no longer
+    need), and no oracle may dangle without a query."""
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
 
 
 def test_entry_smoke(spark):

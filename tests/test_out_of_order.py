@@ -72,3 +72,66 @@ def test_compact_tombstones(spark, ws):
     assert n >= 1
     assert tbl.read(include_internal=True).filter("_deleted").count() == 0
     assert {r.conv_id for r in tbl.read().collect()} == {"b"}
+
+
+def test_tombstone_probe_is_metadata_only(spark, ws, monkeypatch):
+    """A maintenance cycle with nothing purgeable must touch ZERO data
+    files: merge commits record exact per-bucket tombstone stats from
+    parquet footers, and compact_tombstones decides from that snapshot
+    metadata alone (at 10^10 rows the old full-table probe was a full
+    scan per maintenance_every batches)."""
+    tbl = SnapshotTable.create(spark, ws["table"], TRANSCRIPTS_SCHEMA, num_buckets=4)
+    w = spark.createDataFrame(
+        [_ev("a", 1, "I", 0, 1), _ev("a", 1, "D", 5, 2), _ev("b", 2, "I", 6, 3)],
+        CHANGES_SCHEMA,
+    )
+    merge_apply(tbl, w, job_id="j", batch_id=0)
+
+    # every written bucket carries footer-derived tombstone facts
+    meta = tbl.bucket_meta()
+    assert meta and all("tomb" in e for e in meta.values())
+    assert sum(e["tomb"]["n"] for e in meta.values()) == 1
+    mins = [e["tomb"]["min_ts"] for e in meta.values() if e["tomb"]["n"]]
+    assert mins == [(TS + dt.timedelta(seconds=5)).isoformat()]
+
+    reads = []
+    real_read = SnapshotTable.read
+    monkeypatch.setattr(
+        SnapshotTable,
+        "read",
+        lambda self, *a, **k: (reads.append(a), real_read(self, *a, **k))[1],
+    )
+    # watermark before the tombstone: decided from metadata, no read
+    assert compact_tombstones(tbl, TS + dt.timedelta(seconds=1)) == 0
+    assert reads == []
+    # watermark past it: purge still works (reads only the hit buckets)
+    assert compact_tombstones(tbl, TS + dt.timedelta(seconds=60)) == 1
+    assert len(reads) == 1 and len(reads[0][0]) == 1  # one bucket list
+    assert tbl.read(include_internal=True).filter("_deleted").count() == 0
+
+
+def test_tombstone_probe_falls_back_for_untracked_buckets(spark, ws, monkeypatch):
+    """Buckets written before tombstone tracking (no `tomb` metadata)
+    get a data probe restricted to THOSE buckets only — never the full
+    table — and purging them still works."""
+    tbl = SnapshotTable.create(spark, ws["table"], TRANSCRIPTS_SCHEMA, num_buckets=4)
+    w = spark.createDataFrame(
+        [_ev("a", 1, "D", 5, 2), _ev("b", 2, "I", 6, 3)], CHANGES_SCHEMA
+    )
+    merge_apply(tbl, w, job_id="j", batch_id=0)
+    # simulate a legacy snapshot: strip the recorded stats
+    legacy = [b for b, e in tbl.bucket_meta().items() if e["tomb"]["n"]]
+    for b in legacy:
+        tbl._snap["buckets"][str(b)].pop("tomb")
+
+    probes = []
+    real_read = SnapshotTable.read
+    monkeypatch.setattr(
+        SnapshotTable,
+        "read",
+        lambda self, *a, **k: (probes.append(a), real_read(self, *a, **k))[1],
+    )
+    assert compact_tombstones(tbl, TS + dt.timedelta(seconds=60)) == len(legacy)
+    # first read = the restricted probe over exactly the legacy buckets
+    assert sorted(probes[0][0]) == sorted(legacy)
+    assert tbl.read(include_internal=True).filter("_deleted").count() == 0

@@ -68,7 +68,7 @@ def merge_apply(
     batch_id: int,
     lineage_dir: str | None = None,
     drop_deletes: bool = False,
-    watermark: "tuple | None" = None,
+    watermark: "tuple | dict | None" = None,
 ) -> dict:
     """Apply one change window; returns per-batch stats.
 
@@ -92,6 +92,9 @@ def merge_apply(
     recomputed window on a crash-rerun may be a superset of the
     committed one (new tail files arrived, approxQuantile cut drift),
     and advancing the savepoint from it would skip the difference.
+    A multi-source union window passes a ``{source: (op_ts, lsn)}``
+    dict instead; the ledger then carries one watermark column per
+    source (reference CapUsersSavePoint.java:9-47 vector analog).
     """
     if batch_id <= table.committed_batch(job_id):
         return {
@@ -101,11 +104,17 @@ def merge_apply(
             "committed_batch": table.committed_batch(job_id),
             "committed_watermark": table.committed_watermark(job_id),
         }
-    wm = (
-        {"ts": watermark[0].isoformat(), "lsn": int(watermark[1])}
-        if watermark is not None
-        else None
-    )
+    if watermark is None:
+        wm = None
+    elif isinstance(watermark, dict):
+        wm = {
+            "sources": {
+                name: {"ts": t[0].isoformat(), "lsn": int(t[1])}
+                for name, t in watermark.items()
+            }
+        }
+    else:
+        wm = {"ts": watermark[0].isoformat(), "lsn": int(watermark[1])}
 
     if drop_deletes:
         batch_df = batch_df.filter(F.col("op") != OP_DELETE)

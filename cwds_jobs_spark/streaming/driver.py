@@ -175,9 +175,116 @@ def start_cdc_stream(
     return writer.start()
 
 
+def start_multisource_cdc_stream(
+    spark: SparkSession,
+    *,
+    job_id: str,
+    sources: dict[str, str],
+    table_path: str,
+    checkpoint_dir: str,
+    lineage_dir: str | None = None,
+    num_buckets: int = 32,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+    on_batch=None,
+) -> StreamingQuery:
+    """Union of several change tails in ONE streaming query.
+
+    The streaming shape of the batch savepoint vector
+    (``multisource.run_multisource_incremental``; reference
+    AbstractCapUsersJob.java:30-50): each source directory becomes one
+    union leg of a single ``readStream``, and Spark's checkpoint
+    tracks every leg's consumed files INDEPENDENTLY in the offset log
+    — a crash mid-drain resumes both tails with neither skipped,
+    without a hand-rolled vector file.
+
+    Each leg is tagged with a ``_source`` column.  ``foreachBatch``
+    computes per-source high watermarks from the persisted batch (one
+    tiny aggregate, ≤len(sources) rows) and records them atomically
+    WITH the ledger entry — per-source watermark columns in the
+    ledger, readable via ``SnapshotTable.committed_watermark`` as
+    ``{"sources": {name: {"ts", "lsn"}}}``.
+
+    Exactly-once is unchanged: at-least-once ``foreachBatch`` × the
+    ``(job_id, epoch_id)`` ledger inside ``merge_apply``; a replayed
+    epoch is a table no-op and leaves the recorded vector put.
+    """
+    if SnapshotTable.exists(table_path):
+        table = SnapshotTable.load(spark, table_path)
+    else:
+        table = SnapshotTable.create(
+            spark, table_path, TRANSCRIPTS_SCHEMA, num_buckets=num_buckets
+        )
+
+    from pyspark.sql import functions as F
+
+    legs = [
+        stream_changes(
+            spark, cdir, schema=schema, max_files_per_trigger=max_files_per_trigger
+        ).withColumn("_source", F.lit(name))
+        for name, cdir in sources.items()
+    ]
+    src = legs[0]
+    for leg in legs[1:]:
+        src = src.unionByName(leg)
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_df, epoch_id)
+        batch_df = batch_df.persist()
+        try:
+            vector = {
+                r["_source"]: (r["m"]["op_ts"], r["m"]["lsn"])
+                for r in batch_df.groupBy("_source")
+                .agg(F.max(F.struct("op_ts", "lsn")).alias("m"))
+                .collect()
+            }
+            # a micro-batch may hold files of ONE source only (the
+            # trigger's file cap applies per leg) — merge with the
+            # committed vector so every source's entry stays present
+            # and monotone across batches
+            prev = table.committed_watermark(job_id) or {}
+            for name, w in prev.get("sources", {}).items():
+                t = (dt.datetime.fromisoformat(w["ts"]), int(w["lsn"]))
+                if name not in vector or vector[name] < t:
+                    vector[name] = t
+            merge_apply(
+                table,
+                batch_df.drop("_source"),
+                job_id=job_id,
+                batch_id=epoch_id,
+                lineage_dir=lineage_dir,
+                watermark=vector or None,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"cdc-multi-{job_id}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_multisource_tail_once(
+    spark: SparkSession, timeout_sec: float = 300.0, **kw
+) -> None:
+    """Drain all sources' pending tails (availableNow) and wait."""
+    q = start_multisource_cdc_stream(spark, available_now=True, **kw)
+    _await(q, timeout_sec)
+
+
 def run_tail_once(spark: SparkSession, timeout_sec: float = 300.0, **kw) -> None:
     """Drain the pending tail (availableNow) and wait for completion."""
     q = start_cdc_stream(spark, available_now=True, **kw)
+    _await(q, timeout_sec)
+
+
+def _await(q: StreamingQuery, timeout_sec: float) -> None:
     err = None
     try:
         q.awaitTermination(timeout_sec)

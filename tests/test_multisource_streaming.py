@@ -1,0 +1,130 @@
+"""Streaming multi-source tails: two change directories unioned into
+one checkpointed query (reference AbstractCapUsersJob.java:30-50 in
+the streaming driver's shape — SURVEY.md §2.9 T6).  The file-source
+checkpoint tracks each union leg's offsets independently, so a crash
+mid-drain resumes BOTH tails with neither source skipped; per-source
+high watermarks land in the snapshot ledger with the commit."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cwds_jobs_spark.lineage import read_lineage
+from cwds_jobs_spark.oracle import assert_matches, replay
+from cwds_jobs_spark.sources.changes import write_changes_window
+from cwds_jobs_spark.streaming.driver import run_multisource_tail_once
+from cwds_jobs_spark.synth import synth_changes
+from cwds_jobs_spark.table.snapshot import SnapshotTable
+
+
+@pytest.fixture
+def dirs(ws):
+    a = os.path.join(ws["changes"], "src_a")
+    b = os.path.join(ws["changes"], "src_b")
+    os.makedirs(a), os.makedirs(b)
+    return {"a": a, "b": b}
+
+
+def _kw(ws, dirs, **over):
+    kw = dict(
+        job_id="msjob",
+        sources=dirs,
+        table_path=ws["table"],
+        checkpoint_dir=ws["checkpoint"],
+        lineage_dir=ws["lineage"],
+        num_buckets=8,
+    )
+    kw.update(over)
+    return kw
+
+
+def test_two_tails_one_query_matches_replay(spark, ws, dirs):
+    # disjoint LSN ranges: both sources feed one logical change stream
+    wa = synth_changes(spark, 400, n_convs=12)
+    wb = synth_changes(spark, 300, n_convs=12, start_lsn=400)
+    write_changes_window(wa, dirs["a"], "w0")
+    write_changes_window(wb, dirs["b"], "w0")
+    run_multisource_tail_once(spark, **_kw(ws, dirs))
+
+    tbl = SnapshotTable.load(spark, ws["table"])
+    assert_matches(tbl.read(), replay(list(wa.collect()) + list(wb.collect())))
+    # per-source watermark vector recorded with the ledger commit
+    wm = tbl.committed_watermark("msjob")["sources"]
+    ha = max(wa.collect(), key=lambda e: (e.op_ts, e.lsn))
+    hb = max(wb.collect(), key=lambda e: (e.op_ts, e.lsn))
+    assert wm["a"] == {"ts": ha.op_ts.isoformat(), "lsn": ha.lsn}
+    assert wm["b"] == {"ts": hb.op_ts.isoformat(), "lsn": hb.lsn}
+
+
+def test_kill_mid_drain_restart_skips_neither_source(spark, ws, dirs):
+    """Three windows per source, one file per micro-batch; the query is
+    killed after the first applied batch.  The restart must drain the
+    remainder of BOTH tails — the checkpoint's per-leg offsets are the
+    savepoint vector, and the replayed in-flight epoch is a ledger
+    no-op."""
+    all_events = []
+    for i in range(3):
+        wa = synth_changes(spark, 100, n_convs=10, start_lsn=600 * i)
+        wb = synth_changes(spark, 100, n_convs=10, start_lsn=600 * i + 300)
+        all_events += list(wa.collect()) + list(wb.collect())
+        write_changes_window(wa, dirs["a"], f"w{i}")
+        write_changes_window(wb, dirs["b"], f"w{i}")
+
+    state = {"applied": 0}
+
+    def die_after_first(batch_df, epoch_id):
+        if state["applied"] >= 1:
+            raise RuntimeError("killed mid-drain")
+        state["applied"] += 1
+
+    with pytest.raises(RuntimeError):
+        run_multisource_tail_once(
+            spark, max_files_per_trigger=1, on_batch=die_after_first,
+            **_kw(ws, dirs),
+        )
+    tbl = SnapshotTable.load(spark, ws["table"])
+    assert tbl.read().count() < len(replay(all_events))  # genuinely mid-drain
+
+    run_multisource_tail_once(spark, max_files_per_trigger=1, **_kw(ws, dirs))
+    tbl = SnapshotTable.load(spark, ws["table"])
+    assert_matches(tbl.read(), replay(all_events))
+    # every event from both sources applied exactly once
+    lin = read_lineage(spark, ws["lineage"])
+    assert lin.agg(F.sum("events_applied")).collect()[0][0] == 600
+    # the final vector covers both sources at their true maxima
+    wm = tbl.committed_watermark("msjob")["sources"]
+    hi = {s: max(
+        (e for e in all_events if (s == "b") == (300 <= e.lsn % 600)),
+        key=lambda e: (e.op_ts, e.lsn),
+    ) for s in ("a", "b")}
+    assert wm["a"]["lsn"] == hi["a"].lsn and wm["b"]["lsn"] == hi["b"].lsn
+
+
+def test_new_files_in_one_source_only(spark, ws, dirs):
+    """Resume consumes only the new files of the source that grew."""
+    wa = synth_changes(spark, 200, n_convs=10)
+    wb = synth_changes(spark, 200, n_convs=10, start_lsn=200)
+    write_changes_window(wa, dirs["a"], "w0")
+    write_changes_window(wb, dirs["b"], "w0")
+    run_multisource_tail_once(spark, **_kw(ws, dirs))
+
+    wb1 = synth_changes(spark, 150, n_convs=10, start_lsn=400)
+    write_changes_window(wb1, dirs["b"], "w1")
+    run_multisource_tail_once(spark, **_kw(ws, dirs))
+
+    tbl = SnapshotTable.load(spark, ws["table"])
+    assert_matches(
+        tbl.read(),
+        replay(list(wa.collect()) + list(wb.collect()) + list(wb1.collect())),
+    )
+    lin = read_lineage(spark, ws["lineage"])
+    assert lin.agg(F.sum("events_applied")).collect()[0][0] == 550
+    # the second drain advanced b's watermark and carried a's forward
+    # (a contributed nothing to the last batch, yet stays in the vector)
+    wm = tbl.committed_watermark("msjob")["sources"]
+    hb1 = max(wb1.collect(), key=lambda e: (e.op_ts, e.lsn))
+    ha = max(wa.collect(), key=lambda e: (e.op_ts, e.lsn))
+    assert wm["b"] == {"ts": hb1.op_ts.isoformat(), "lsn": hb1.lsn}
+    assert wm["a"] == {"ts": ha.op_ts.isoformat(), "lsn": ha.lsn}

@@ -952,6 +952,18 @@ def _best_replay_record(cdc: dict | None) -> dict | None:
     }
 
 
+def _carry_pair_hunt(detail_path: str) -> dict | None:
+    """Preserve a dedicated scaling-pair-hunt record (written outside
+    ``main()`` by an ad-hoc hunt script) across full-bench rewrites of
+    the detail file — same carry-forward rule as the best pair: the
+    round's recorded evidence must survive later runs."""
+    try:
+        with open(detail_path) as f:
+            return json.load(f).get("pair_hunt")
+    except Exception:
+        return None
+
+
 def _merge_best_replay(detail_path: str, record: dict | None) -> dict | None:
     """Round-best replay headline, carried ACROSS bench runs.  A
     bigger replay beats a smaller one regardless of throughput (a
@@ -1067,6 +1079,7 @@ def main() -> None:
     )
     best_pair = _merge_best_pair(detail_path, _best_accepted_pair_record(scaling))
     best_replay = _merge_best_replay(detail_path, _best_replay_record(cdc))
+    pair_hunt = _carry_pair_hunt(detail_path)
     detail = {
         "cdc_replay": cdc,
         "scaling": scaling,
@@ -1075,6 +1088,8 @@ def main() -> None:
         "best_replay_of_round": best_replay,
         "queries_config": QUERIES_CONFIG,
     }
+    if pair_hunt is not None:
+        detail["pair_hunt"] = pair_hunt
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
@@ -1123,6 +1138,10 @@ def main() -> None:
         # best ACCEPTED pair of the round, merged across runs — the
         # committed artifact always shows the round's real evidence
         out.setdefault("scaling", {})["best_accepted_pair_of_round"] = best_pair
+    if pair_hunt is not None and pair_hunt.get("best_accepted") is not None:
+        out.setdefault("scaling", {})["pair_hunt_best_accepted"] = pair_hunt[
+            "best_accepted"
+        ]
     if serial is not None:
         out["serial_per_window_sec"] = serial["serial_per_window_sec"]
         out["serial_fraction_at_1e9_window"] = serial[

@@ -867,30 +867,61 @@ def run_scaling(n_events: int, n_small: int = 2, n_big: int = 8) -> dict:
     return s.finalize()
 
 
-def _run_provenance() -> dict:
-    """Timestamp + git context attached to every carried-across-runs
-    record so a reader can trace which run produced it."""
-    import datetime
-    import subprocess
+def _current_round() -> int:
+    """Build-round id, inferred from the driver's committed artifacts:
+    round N is in progress while ``BENCH_r{N-1}.json`` is the newest
+    such file (the driver writes ``BENCH_r{N}.json`` only after round N
+    ends).  Carried records are keyed to this so a round's headline can
+    never be a stale reading from an earlier round's engine (round-4
+    advisory: an all-time best silently masked later regressions)."""
+    import glob as _glob
+    import re as _re
 
-    try:
-        sha = (
-            subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                timeout=10,
-            ).stdout.strip()
-            or None
-        )
-    except Exception:
-        sha = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in _glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = _re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m:
+            rounds.append(int(m.group(1)))
+    return (max(rounds) + 1) if rounds else 1
+
+
+# stamped ONCE at import (≈ measurement start): carried records must
+# carry the SHA the measured code was at, not whatever HEAD advanced to
+# by artifact-write time (round-4 hygiene: a record citing the commit
+# that *contains* it is circular provenance).
+_PROVENANCE: dict | None = None
+
+
+def _run_provenance() -> dict:
+    """Timestamp + run-start git context + round id attached to every
+    carried-across-runs record so a reader can trace which run (and
+    which engine code) produced it."""
+    global _PROVENANCE
+    import datetime
+
+    if _PROVENANCE is None:
+        import subprocess
+
+        try:
+            sha = (
+                subprocess.run(
+                    ["git", "rev-parse", "--short", "HEAD"],
+                    capture_output=True,
+                    text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    timeout=10,
+                ).stdout.strip()
+                or None
+            )
+        except Exception:
+            sha = None
+        _PROVENANCE = {"git_head_at_run_start": sha, "round": _current_round()}
     return {
         "run_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds"
         ),
-        "git_head": sha,
+        **_PROVENANCE,
     }
 
 
@@ -912,23 +943,114 @@ def _best_accepted_pair_record(scaling: dict | None) -> dict | None:
     }
 
 
-def _merge_best_pair(detail_path: str, record: dict | None) -> dict | None:
-    """Round-best accepted pair, carried ACROSS bench runs: a later run
-    in a worse host window must never overwrite a better accepted pair
-    already committed (round-3 defect: the end-of-round snapshot
-    replaced the 0.839 north-rule evidence in ``BENCH_DETAIL.json``
-    with a degraded-window 0.426, leaving the met criterion visible
-    only via git archaeology)."""
-    prev = None
+def _load_detail(detail_path: str) -> dict:
     try:
         with open(detail_path) as f:
-            prev = json.load(f).get("best_accepted_pair_of_round")
+            return json.load(f)
     except Exception:
-        prev = None
-    cands = [r for r in (prev, record) if r and r.get("pair")]
-    if not cands:
+        return {}
+
+
+def _carry_best(prev: dict | None, new: dict | None, score) -> tuple:
+    """Best-of(committed prev, this run) for a carried record, bounded
+    by round: records from an earlier round — or with an unreadable
+    score (a renamed/missing key must archive the record, not raise
+    KeyError at artifact-write time and lose the whole run) — are
+    demoted to the returned archive list instead of being re-reported
+    as the current round's headline forever (round-4 advisories).
+
+    Returns ``(best_of_current_round_or_None, demoted_records)``."""
+    cur_round = _run_provenance()["round"]
+    keep: list = []
+    prior: list = []
+    for r in (prev, new):
+        if not r or not isinstance(r, dict):
+            continue
+        if score(r) is None or r.get("round") != cur_round:
+            prior.append(r)
+        else:
+            keep.append(r)
+    best = max(keep, key=score) if keep else None
+    return best, prior
+
+
+def _pair_score(r: dict):
+    eff = (r.get("pair") or {}).get("efficiency") if isinstance(r, dict) else None
+    return eff if isinstance(eff, (int, float)) else None
+
+
+def _replay_score(r: dict):
+    eps = r.get("events_per_sec") if isinstance(r, dict) else None
+    if not isinstance(eps, (int, float)):
         return None
-    return max(cands, key=lambda r: r["pair"]["efficiency"])
+    # a bigger replay beats a smaller one regardless of throughput (a
+    # 500k-event smoke run must never evict a 16M-event record); at
+    # equal size, higher events/sec wins
+    ev = r.get("events")
+    return (ev if isinstance(ev, (int, float)) else 0, eps)
+
+
+def _hunt_score(r: dict):
+    eff = (r.get("best_accepted") or {}).get("efficiency") if isinstance(
+        r, dict
+    ) else None
+    return eff if isinstance(eff, (int, float)) else None
+
+
+def _compact_pair(record: dict) -> dict:
+    """Printed-line form of a carried pair record: efficiency + leg
+    throughputs + provenance.  Legs' canaries/walls stay in the detail
+    file — inlining them is what overflowed the round-4 artifact."""
+    pair = record.get("pair") or {}
+    out = {"efficiency": pair.get("efficiency")}
+    for k, v in pair.items():
+        if k.endswith("_events_per_sec"):
+            out[k] = v
+    for k in ("round", "run_utc", "git_head_at_run_start", "git_head"):
+        if record.get(k) is not None:
+            out[k] = record[k]
+    return out
+
+
+def _compact_replay(record: dict) -> dict:
+    keys = ("events_per_sec", "wall_sec", "events", "windows", "round",
+            "run_utc", "git_head_at_run_start", "git_head")
+    return {k: record[k] for k in keys if record.get(k) is not None}
+
+
+# the driver's stdout capture truncates long lines (BENCH_r02 and
+# BENCH_r04 both recorded `parsed: null`); everything dropped here
+# stays available in BENCH_DETAIL.json under `latest_run`.
+_PRINT_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_PRINT_BUDGET", 2000))
+
+
+def _fit_budget(out: dict, limit: int = _PRINT_BUDGET) -> dict:
+    """Drop optional printed keys (never the per-query times) until the
+    line fits the capture budget, recording what was dropped."""
+    drop_order = [
+        ("scaling", "pair_efficiencies"),
+        ("scaling", "host_ceiling_N_to_4N"),
+        ("cdc_replay", "attempts_events_per_sec"),
+        ("scaling", "estimator"),
+        ("scaling", "unaccepted_best"),
+        ("scaling", "pair_hunt_best_accepted"),
+        ("dedup_scale_slopes",),
+        ("scaling", "best_accepted_pair_of_round"),
+        ("cdc_replay", "best_replay_of_round"),
+    ]
+    dropped = []
+    for path in drop_order:
+        if len(json.dumps(out)) <= limit:
+            break
+        d = out
+        for p in path[:-1]:
+            d = d.get(p) or {}
+        if path[-1] in d:
+            d.pop(path[-1])
+            dropped.append("/".join(path))
+    if dropped:
+        out["dropped_for_budget_see_detail_file"] = dropped
+    return out
 
 
 def _best_replay_record(cdc: dict | None) -> dict | None:
@@ -952,33 +1074,18 @@ def _best_replay_record(cdc: dict | None) -> dict | None:
     }
 
 
-def _carry_pair_hunt(detail_path: str) -> dict | None:
+def _carry_pair_hunt(prev_detail: dict) -> tuple:
     """Preserve a dedicated scaling-pair-hunt record (written outside
-    ``main()`` by an ad-hoc hunt script) across full-bench rewrites of
+    ``main()`` by ``tools/pair_hunt.py``) across full-bench rewrites of
     the detail file — same carry-forward rule as the best pair: the
-    round's recorded evidence must survive later runs."""
-    try:
-        with open(detail_path) as f:
-            return json.load(f).get("pair_hunt")
-    except Exception:
-        return None
-
-
-def _merge_best_replay(detail_path: str, record: dict | None) -> dict | None:
-    """Round-best replay headline, carried ACROSS bench runs.  A
-    bigger replay beats a smaller one regardless of throughput (a
-    500k-event smoke run must never evict a 16M-event record); at
-    equal size, higher events/sec wins."""
-    prev = None
-    try:
-        with open(detail_path) as f:
-            prev = json.load(f).get("best_replay_of_round")
-    except Exception:
-        prev = None
-    cands = [r for r in (prev, record) if r and r.get("events_per_sec")]
-    if not cands:
-        return None
-    return max(cands, key=lambda r: (r.get("events", 0), r["events_per_sec"]))
+    round's recorded evidence must survive later runs, but a PRIOR
+    round's hunt is archived, not re-reported."""
+    hunt = prev_detail.get("pair_hunt")
+    if not hunt or not isinstance(hunt, dict):
+        return None, []
+    if hunt.get("round") != _run_provenance()["round"]:
+        return None, [hunt]
+    return hunt, []
 
 
 def _headline_queries_leg() -> dict[str, float]:
@@ -1069,29 +1176,42 @@ def main() -> None:
     # harness overhead
     total = round(cdc["wall_sec"] + sum(queries.values()), 3)
 
-    # Round-2's single JSON line (scaling rounds + serial runs inlined)
-    # overflowed the driver's output capture and the artifact recorded
-    # `parsed: null`, losing the per-query headline times.  The printed
-    # line is now a compact summary (~1.5 KB); the full per-round /
-    # per-run detail goes to a side file referenced by path.
+    # Round-2's AND round-4's single JSON line overflowed the driver's
+    # output capture and the artifact recorded `parsed: null`, losing
+    # the per-query headline times.  The printed line is therefore a
+    # compact summary hard-capped under the capture budget
+    # (``_fit_budget``); the COMPLETE result object — per-query times,
+    # config fingerprints, full replay/scaling/serial detail, carried
+    # records — is mirrored into the side file under ``latest_run``.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    best_pair = _merge_best_pair(detail_path, _best_accepted_pair_record(scaling))
-    best_replay = _merge_best_replay(detail_path, _best_replay_record(cdc))
-    pair_hunt = _carry_pair_hunt(detail_path)
-    detail = {
-        "cdc_replay": cdc,
-        "scaling": scaling,
-        "serial_decomposition": serial,
-        "best_accepted_pair_of_round": best_pair,
-        "best_replay_of_round": best_replay,
-        "queries_config": QUERIES_CONFIG,
-    }
-    if pair_hunt is not None:
-        detail["pair_hunt"] = pair_hunt
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1)
+    prev_detail = _load_detail(detail_path)
+    prov = _run_provenance()
+    best_pair, prior_a = _carry_best(
+        prev_detail.get("best_accepted_pair_of_round"),
+        _best_accepted_pair_record(scaling),
+        _pair_score,
+    )
+    best_replay, prior_b = _carry_best(
+        prev_detail.get("best_replay_of_round"),
+        _best_replay_record(cdc),
+        _replay_score,
+    )
+    pair_hunt, prior_c = _carry_pair_hunt(prev_detail)
+    dedup_scale = prev_detail.get("dedup_scale_step")
+    prior_d: list = []
+    if dedup_scale and dedup_scale.get("round") != prov["round"]:
+        dedup_scale, prior_d = None, [dedup_scale]
+    prior_rounds = list(prev_detail.get("prior_rounds") or [])
+    for kind, demoted in (
+        ("best_accepted_pair", prior_a),
+        ("best_replay", prior_b),
+        ("pair_hunt", prior_c),
+        ("dedup_scale_step", prior_d),
+    ):
+        for r in demoted:
+            prior_rounds.append({"kind": kind, "record": r})
 
     cdc_summary = {
         k: cdc[k]
@@ -1102,17 +1222,18 @@ def main() -> None:
         a["events_per_sec"] for a in cdc["attempts"]
     ]
     if best_replay is not None:
-        # best replay of the round, merged across runs (see
-        # _merge_best_replay) — the committed artifact always shows the
-        # round's real headline even if THIS run hit a degraded window
-        cdc_summary["best_replay_of_round"] = best_replay
+        # best replay of the round, merged across same-round runs —
+        # the committed artifact always shows the round's real headline
+        # even if THIS run hit a degraded window
+        cdc_summary["best_replay_of_round"] = _compact_replay(best_replay)
     out = {
         "metric": "headline queries + CDC replay wall time (%s, local[%s])"
         % (os.path.basename(SF_DIR.rstrip("/")), CPUS),
         "value": total,
         "unit": "sec",
+        "round": prov["round"],
+        "git_head_at_run_start": prov["git_head_at_run_start"],
         "queries": queries,
-        "queries_config": QUERIES_CONFIG,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "cdc_replay": cdc_summary,
         "detail_file": detail_path,
@@ -1125,9 +1246,11 @@ def main() -> None:
             "estimator": scaling["scaling_efficiency_estimator"],
             "speedup_N_to_4N": scaling["speedup_N_to_4N"],
             "pair_efficiencies": [r["efficiency"] for r in scaling["rounds"]],
-            "pairs_rejected": [
-                r["rejected"] for r in scaling["rounds"] if r["rejected"]
-            ],
+            # full rejection reasons live in the detail file; inlining
+            # them is what overflowed the round-4 artifact
+            "pairs_rejected_n": sum(
+                1 for r in scaling["rounds"] if r["rejected"]
+            ),
             "host_ceiling_N_to_4N": {
                 k: v["efficiency"] for k, v in scaling["host_probe"].items()
             },
@@ -1135,18 +1258,54 @@ def main() -> None:
         if "unaccepted_best" in scaling:
             out["scaling"]["unaccepted_best"] = scaling["unaccepted_best"]
     if best_pair is not None:
-        # best ACCEPTED pair of the round, merged across runs — the
-        # committed artifact always shows the round's real evidence
-        out.setdefault("scaling", {})["best_accepted_pair_of_round"] = best_pair
+        # best ACCEPTED pair of the round, merged across same-round
+        # runs — compacted; full legs/canaries in the detail file
+        out.setdefault("scaling", {})["best_accepted_pair_of_round"] = (
+            _compact_pair(best_pair)
+        )
     if pair_hunt is not None and pair_hunt.get("best_accepted") is not None:
-        out.setdefault("scaling", {})["pair_hunt_best_accepted"] = pair_hunt[
-            "best_accepted"
-        ]
+        out.setdefault("scaling", {})["pair_hunt_best_accepted"] = _compact_pair(
+            {"pair": pair_hunt["best_accepted"], "cores": pair_hunt.get("cores"),
+             "round": pair_hunt.get("round"), "run_utc": pair_hunt.get("run_utc"),
+             "git_head_at_run_start": pair_hunt.get("git_head_at_run_start")}
+        )
+    if dedup_scale is not None and dedup_scale.get("slopes") is not None:
+        out["dedup_scale_slopes"] = dedup_scale["slopes"]
     if serial is not None:
         out["serial_per_window_sec"] = serial["serial_per_window_sec"]
         out["serial_fraction_at_1e9_window"] = serial[
             "serial_fraction_at_1e9_window"
         ]
+    out = _fit_budget(out)
+
+    detail = {
+        # the COMPLETE result object of THIS run (nothing truncated):
+        # the driver-committed headline line above is a summary of this
+        "latest_run": {
+            **prov,
+            "sf": out["sf"],
+            "cpus": int(CPUS),
+            "value_sec": total,
+            "queries": queries,
+            "queries_config": QUERIES_CONFIG,
+            "cdc_replay": cdc,
+            "scaling": scaling,
+            "serial_decomposition": serial,
+            "printed_line": out,
+        },
+        "best_accepted_pair_of_round": best_pair,
+        "best_replay_of_round": best_replay,
+        "queries_config": QUERIES_CONFIG,
+    }
+    if pair_hunt is not None:
+        detail["pair_hunt"] = pair_hunt
+    if dedup_scale is not None:
+        detail["dedup_scale_step"] = dedup_scale
+    if prior_rounds:
+        detail["prior_rounds"] = prior_rounds
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
     print(json.dumps(out))
 
 

@@ -220,7 +220,11 @@ def compact_tombstones(table: SnapshotTable, watermark_ts) -> int:
     maintenance cycle on a 10^10-row table touches no data files when
     nothing is purgeable.  Buckets written before tombstone tracking
     (no ``tomb`` entry) fall back to a data probe restricted to those
-    buckets only.
+    buckets only, and the probed ``(n, min_ts)`` facts are written BACK
+    into the snapshot (``record_bucket_tomb_stats``) so the fallback
+    runs once per bucket lifetime, not once per maintenance cycle —
+    the files are immutable until the bucket's next rewrite, which
+    records fresh stats itself.
     """
     if TOMBSTONE not in [f.name for f in table.schema.fields]:
         return 0
@@ -236,14 +240,35 @@ def compact_tombstones(table: SnapshotTable, watermark_ts) -> int:
         ):
             hits.add(b)
     if unknown:
+        # full (n, min_ts) probe — same restricted scan the purge
+        # decision needs, but its result is recorded so the NEXT cycle
+        # decides these buckets from metadata alone
+        is_tomb = F.coalesce(F.col(TOMBSTONE), F.lit(False))
         probe = (
             table.read(unknown, include_internal=True)
-            .filter(dead)
-            .select(table.bucket_of().alias("b"))
-            .distinct()
+            .groupBy(table.bucket_of().alias("b"))
+            .agg(
+                F.sum(is_tomb.cast("int")).alias("n"),
+                F.min(F.when(is_tomb, F.col(VERSION_TS))).alias("min_ts"),
+            )
             .collect()
         )
-        hits.update(int(r["b"]) for r in probe)
+        found = {
+            int(r["b"]): {
+                "n": int(r["n"] or 0),
+                "min_ts": r["min_ts"].isoformat()
+                if (r["n"] or 0) > 0 and r["min_ts"] is not None
+                else None,
+            }
+            for r in probe
+        }
+        stats = {b: found.get(b, {"n": 0, "min_ts": None}) for b in unknown}
+        table.record_bucket_tomb_stats(stats)
+        for b, t in stats.items():
+            if t["n"] > 0 and t["min_ts"] is not None and (
+                dt.datetime.fromisoformat(t["min_ts"]) < watermark_ts
+            ):
+                hits.add(b)
     buckets = sorted(hits)
     if not buckets:
         return 0

@@ -245,6 +245,22 @@ class CdcJobRunner:
                     # advancing from the recomputed window's ``hi``
                     # would skip everything in the difference forever.
                     wm = stats.get("committed_watermark")
+                    if wm is not None and "sources" in wm:
+                        # cross-mode job_id reuse: the ledger carries a
+                        # multi-source VECTOR watermark (this job_id
+                        # previously ran through the multisource
+                        # streaming driver).  There is no sound scalar
+                        # savepoint to restore for a single-directory
+                        # batch tail — refuse loudly instead of a
+                        # KeyError (or worse, a silent guess that
+                        # skips or replays one source's suffix).
+                        raise ValueError(
+                            f"job_id {self.cfg.job_id!r} has a multi-"
+                            "source vector watermark in the table "
+                            "ledger; resume it via streaming.driver."
+                            "start_multisource_cdc_stream (or use a "
+                            "fresh job_id for single-source batch runs)"
+                        )
                     if wm is not None:
                         container.savepoint = st.SavePoint(
                             ts=dt.datetime.fromisoformat(wm["ts"]),

@@ -245,7 +245,22 @@ def start_multisource_cdc_stream(
             # committed vector so every source's entry stays present
             # and monotone across batches
             prev = table.committed_watermark(job_id) or {}
-            for name, w in prev.get("sources", {}).items():
+            if "sources" in prev:
+                prev_sources = prev["sources"]
+            elif "ts" in prev:
+                # cross-mode job_id reuse: a prior batch/single-stream
+                # run committed a scalar {ts, lsn} watermark.  Migrate
+                # it as a FLOOR for every source (everything up to it
+                # was applied, whichever tail it came from) instead of
+                # silently discarding it and restarting the vector
+                # from scratch.
+                prev_sources = {
+                    name: {"ts": prev["ts"], "lsn": prev["lsn"]}
+                    for name in sources
+                }
+            else:
+                prev_sources = {}
+            for name, w in prev_sources.items():
                 t = (dt.datetime.fromisoformat(w["ts"]), int(w["lsn"]))
                 if name not in vector or vector[name] < t:
                     vector[name] = t

@@ -407,6 +407,29 @@ class SnapshotTable:
         self._write_snapshot(snap)
         self._snap = snap
 
+    def record_bucket_tomb_stats(self, stats: dict[int, dict]) -> None:
+        """Metadata-only commit backfilling ``tomb`` tombstone stats for
+        buckets written before footer tracking existed.
+
+        ``compact_tombstones`` falls back to a restricted data probe for
+        buckets with no ``tomb`` entry; recording the probe's result here
+        makes that fallback once-per-bucket-lifetime instead of
+        once-per-maintenance-cycle (the files are immutable until the
+        bucket's next rewrite, which records fresh stats itself)."""
+        if not stats:
+            return
+        snap = dict(self._snap)
+        snap["version"] = self.version + 1
+        snap["buckets"] = dict(snap["buckets"])
+        for b, t in stats.items():
+            entry = snap["buckets"].get(str(b))
+            if entry is not None and "tomb" not in entry:
+                entry = dict(entry)
+                entry["tomb"] = {"n": int(t["n"]), "min_ts": t["min_ts"]}
+                snap["buckets"][str(b)] = entry
+        self._write_snapshot(snap)
+        self._snap = snap
+
     def record_ledger(
         self, job_id: str, batch_id: int, watermark: dict | None = None
     ) -> None:

@@ -229,3 +229,107 @@ class TestScalingSummary:
         assert res["scaling_efficiency_median"] == 0.76
         assert res["rounds_rejected"] == 1
         assert "best of 2 accepted" in res["scaling_efficiency_estimator"]
+
+
+class TestCarryForward:
+    """Round-keyed cross-run record carry (round-4 advisories: an
+    all-time best must not mask a later round's regression; a malformed
+    committed record must not crash the artifact write)."""
+
+    def _prov(self, monkeypatch, rnd=5):
+        monkeypatch.setattr(
+            bench, "_PROVENANCE",
+            {"git_head_at_run_start": "abc1234", "round": rnd},
+        )
+
+    def test_same_round_best_wins(self, monkeypatch):
+        self._prov(monkeypatch)
+        prev = {"pair": {"efficiency": 0.83}, "round": 5}
+        new = {"pair": {"efficiency": 0.78}, "round": 5}
+        best, prior = bench._carry_best(prev, new, bench._pair_score)
+        assert best is prev and prior == []
+
+    def test_prior_round_record_demoted_not_reported(self, monkeypatch):
+        self._prov(monkeypatch)
+        prev = {"pair": {"efficiency": 0.86}, "round": 4}
+        new = {"pair": {"efficiency": 0.71}, "round": 5}
+        best, prior = bench._carry_best(prev, new, bench._pair_score)
+        assert best is new          # 0.86 is round-4 evidence, not round-5's
+        assert prior == [prev]      # ... but it is archived, not lost
+
+    def test_legacy_record_without_round_demoted(self, monkeypatch):
+        self._prov(monkeypatch)
+        prev = {"pair": {"efficiency": 0.839}}  # round-3-era shape
+        best, prior = bench._carry_best(prev, None, bench._pair_score)
+        assert best is None and prior == [prev]
+
+    def test_malformed_record_archived_not_keyerror(self, monkeypatch):
+        # ADVICE round-4: a prior record with "pair" but a renamed
+        # efficiency key raised KeyError inside max() at artifact-write
+        # time — after the whole bench had run
+        self._prov(monkeypatch)
+        prev = {"pair": {"eff_renamed": 0.9}, "round": 5}
+        new = {"pair": {"efficiency": 0.7}, "round": 5}
+        best, prior = bench._carry_best(prev, new, bench._pair_score)
+        assert best is new and prior == [prev]
+
+    def test_replay_bigger_events_beats_higher_rate(self, monkeypatch):
+        self._prov(monkeypatch)
+        big = {"events_per_sec": 700_000.0, "events": 16_000_000, "round": 5}
+        smoke = {"events_per_sec": 950_000.0, "events": 500_000, "round": 5}
+        best, prior = bench._carry_best(big, smoke, bench._replay_score)
+        assert best is big and prior == []
+
+    def test_pair_hunt_prior_round_archived(self, monkeypatch):
+        self._prov(monkeypatch)
+        hunt, prior = bench._carry_pair_hunt(
+            {"pair_hunt": {"best_accepted": {"efficiency": 0.817}, "round": 4}}
+        )
+        assert hunt is None and len(prior) == 1
+        hunt, prior = bench._carry_pair_hunt(
+            {"pair_hunt": {"best_accepted": {"efficiency": 0.8}, "round": 5}}
+        )
+        assert hunt is not None and prior == []
+
+
+class TestPrintBudget:
+    def test_small_line_untouched(self):
+        out = {"queries": {"q1": 1.0}, "scaling": {"pair_efficiencies": [0.8]}}
+        fitted = bench._fit_budget(dict(out), limit=2000)
+        assert fitted["scaling"]["pair_efficiencies"] == [0.8]
+        assert "dropped_for_budget_see_detail_file" not in fitted
+
+    def test_overflow_drops_optional_keys_never_queries(self):
+        queries = {f"q{i}": 1.234 for i in range(30)}
+        out = {
+            "queries": queries,
+            "cdc_replay": {"events_per_sec": 1.0,
+                           "attempts_events_per_sec": [1.0] * 50},
+            "scaling": {"scaling_efficiency": 0.8,
+                        "pair_efficiencies": [0.8] * 80,
+                        "host_ceiling_N_to_4N": {"alu": 1.0, "dram": 0.5}},
+        }
+        limit = len("x") * 900
+        fitted = bench._fit_budget(out, limit=900)
+        assert len(bench.json.dumps(fitted)) <= 900 + 100  # marker allowance
+        assert fitted["queries"] == queries  # per-query times survive
+        assert "pair_efficiencies" not in fitted["scaling"]
+        assert fitted["dropped_for_budget_see_detail_file"]
+
+    def test_compact_pair_shape(self):
+        rec = {
+            "pair": {"efficiency": 0.82,
+                     "local[2]_events_per_sec": 250_000.0,
+                     "local[8]_events_per_sec": 820_000.0,
+                     "canaries": [0.2] * 4, "bw_canaries": [0.1] * 4,
+                     "window_walls": {"local[2]": [60, 61]},
+                     "rejected": None},
+            "cores": {"N": 2, "4N": 8}, "round": 5,
+            "run_utc": "2026-08-18T00:00:00+00:00",
+            "git_head_at_run_start": "abc1234", "n_events": 32_000_000,
+        }
+        c = bench._compact_pair(rec)
+        assert c["efficiency"] == 0.82
+        assert c["local[2]_events_per_sec"] == 250_000.0
+        assert "canaries" not in c and "window_walls" not in c
+        assert c["round"] == 5 and c["git_head_at_run_start"] == "abc1234"

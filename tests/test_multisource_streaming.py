@@ -128,3 +128,33 @@ def test_new_files_in_one_source_only(spark, ws, dirs):
     ha = max(wa.collect(), key=lambda e: (e.op_ts, e.lsn))
     assert wm["b"] == {"ts": hb1.op_ts.isoformat(), "lsn": hb1.lsn}
     assert wm["a"] == {"ts": ha.op_ts.isoformat(), "lsn": ha.lsn}
+
+
+def test_legacy_scalar_watermark_becomes_vector_floor(spark, ws, dirs):
+    """Cross-mode job_id reuse: a prior single-source run committed a
+    scalar {ts, lsn} ledger watermark.  The multisource stream must
+    migrate it as a floor for EVERY source instead of silently
+    discarding it and restarting the vector from scratch."""
+    from cwds_jobs_spark.schema import TRANSCRIPTS_SCHEMA
+
+    wa = synth_changes(spark, 100, n_convs=10)
+    wb = synth_changes(spark, 100, n_convs=10, start_lsn=100)
+    write_changes_window(wa, dirs["a"], "w0")
+    write_changes_window(wb, dirs["b"], "w0")
+    # legacy scalar watermark ABOVE both tails' maxima: with a correct
+    # floor migration the final vector must equal it for both sources
+    floor_ts = dt.datetime(2030, 1, 1)
+    tbl = SnapshotTable.create(
+        spark, ws["table"], TRANSCRIPTS_SCHEMA, num_buckets=8
+    )
+    tbl.record_ledger(
+        "msjob", -1, watermark={"ts": floor_ts.isoformat(), "lsn": 777}
+    )
+    run_multisource_tail_once(spark, **_kw(ws, dirs))
+    tbl = SnapshotTable.load(spark, ws["table"])
+    wm = tbl.committed_watermark("msjob")["sources"]
+    assert wm["a"] == {"ts": floor_ts.isoformat(), "lsn": 777}
+    assert wm["b"] == {"ts": floor_ts.isoformat(), "lsn": 777}
+    # the events themselves still applied (the floor is bookkeeping,
+    # not a filter — file offsets come from the checkpoint)
+    assert tbl.read().count() > 0

@@ -317,3 +317,44 @@ def test_crash_between_commit_and_savepoint_never_skips_events(spark, ws):
     hi2 = max(w2.collect(), key=lambda e: (e.op_ts, e.lsn))
     assert r.sp_svc.read().savepoint.as_tuple() == (hi2.op_ts, hi2.lsn)
     assert r.sp_svc.read().batch_id == 2
+
+
+def test_vector_watermark_in_ledger_rejected_by_batch_runner(spark, ws):
+    """Cross-mode job_id reuse, the other direction: the table ledger
+    carries a multi-source VECTOR watermark (job previously ran via the
+    multisource streaming driver).  The batch runner's crash-restore
+    path has no sound scalar savepoint to restore — it must refuse
+    loudly, not KeyError on wm["ts"] or silently guess."""
+    from cwds_jobs_spark.schema import TRANSCRIPTS_SCHEMA
+    from cwds_jobs_spark.table.snapshot import SnapshotTable
+
+    write_changes_window(
+        synth_changes(spark, 200, n_convs=10), ws["changes"], "w0"
+    )
+    r = _runner(spark, ws)
+    tbl = SnapshotTable.create(
+        spark, ws["table"], TRANSCRIPTS_SCHEMA, num_buckets=8
+    )
+    # simulate: multisource stream committed batch 1 with a vector
+    tbl.record_ledger(
+        "job1",
+        1,
+        watermark={
+            "sources": {
+                "a": {"ts": TS.isoformat(), "lsn": 10},
+                "b": {"ts": TS.isoformat(), "lsn": 20},
+            }
+        },
+    )
+    # savepoint file says incremental, one batch behind the ledger →
+    # the next merge_apply is ledger-skipped and hits the restore path
+    r.sp_svc.write(
+        st.SavePointContainer(
+            job_mode=st.INCREMENTAL_LOAD,
+            savepoint=st.SavePoint(ts=st.EPOCH_TS, lsn=-1),
+            table_ident=ws["table"],
+            batch_id=0,
+        )
+    )
+    with pytest.raises(ValueError, match="multi-source vector"):
+        r.run()

@@ -1039,6 +1039,104 @@ FROM (
 """
 
 
+def q_multisource_vector(spark, sf_dir):
+    """T6/U1 streaming shape (reference AbstractCapUsersJob.java:30-50 +
+    CapUsersSavePoint.java:9-47 vector): two synthesized change tails
+    drained by ONE checkpointed streaming query (union legs, each leg's
+    file offsets tracked independently); the per-source high-watermark
+    vector is recorded atomically with the snapshot ledger commit.
+
+    Returns uniform (section, k, v) rows: the merged final table state
+    (section='final') plus the COMMITTED vector read back from the
+    ledger (section='wm', v = '<epoch_us>/<lsn>').  The DuckDB oracle
+    replays the same two parquet tails with a row_number() LWW and
+    recomputes each source's (op_ts, lsn) maximum — so both the merge
+    result and the vector the engine committed are value-checked."""
+    import datetime as _dt
+    import tempfile
+
+    from cwds_jobs_spark.streaming.driver import run_multisource_tail_once
+    from cwds_jobs_spark.synth import synth_changes
+    from cwds_jobs_spark.table.snapshot import SnapshotTable
+
+    per = 1500
+    # tail content is sf-independent (pure function of lsn) — fixed paths
+    pa = f"{_ORACLE_SIDE_DIR}/ms_tail_a"
+    pb = f"{_ORACLE_SIDE_DIR}/ms_tail_b"
+    synth_changes(spark, per, n_convs=40).write.mode("overwrite").parquet(pa)
+    synth_changes(spark, per, n_convs=40, start_lsn=per).write.mode(
+        "overwrite"
+    ).parquet(pb)
+
+    work = tempfile.mkdtemp(prefix="msv_entry_")
+    run_multisource_tail_once(
+        spark,
+        job_id="msv",
+        sources={"a": pa, "b": pb},
+        table_path=f"{work}/tbl",
+        checkpoint_dir=f"{work}/ckpt",
+        num_buckets=8,
+    )
+    tbl = SnapshotTable.load(spark, f"{work}/tbl")
+    final = tbl.read().select(
+        F.lit("final").alias("section"),
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("k"),
+        F.concat_ws(
+            "|", F.coalesce("role", F.lit("")), F.coalesce("text", F.lit(""))
+        ).alias("v"),
+    )
+    wm = tbl.committed_watermark("msv")["sources"]
+    utc = _dt.timezone.utc
+    rows = [
+        (
+            "wm",
+            name,
+            "%d/%d"
+            % (
+                int(
+                    _dt.datetime.fromisoformat(w["ts"])
+                    .replace(tzinfo=utc)
+                    .timestamp()
+                    * 1_000_000
+                ),
+                int(w["lsn"]),
+            ),
+        )
+        for name, w in sorted(wm.items())
+    ]
+    vec = spark.createDataFrame(rows, "section string, k string, v string")
+    return final.unionByName(vec)
+
+
+_SQL_MSV = """
+WITH tail AS (
+  SELECT * FROM read_parquet('/tmp/spark_graft_oracle/ms_tail_a/*.parquet')
+  UNION ALL
+  SELECT * FROM read_parquet('/tmp/spark_graft_oracle/ms_tail_b/*.parquet')
+)
+SELECT 'final' AS section,
+       conv_id || '#' || CAST(turn_idx AS VARCHAR) AS k,
+       coalesce(role, '') || '|' || coalesce(text, '') AS v
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY op_ts DESC, lsn DESC) AS rn
+  FROM tail
+) WHERE rn = 1 AND op <> 'D'
+UNION ALL
+SELECT 'wm', 'a',
+       (SELECT CAST(epoch_us(CAST(op_ts AS TIMESTAMP)) AS VARCHAR)
+                 || '/' || CAST(lsn AS VARCHAR)
+        FROM read_parquet('/tmp/spark_graft_oracle/ms_tail_a/*.parquet')
+        ORDER BY op_ts DESC, lsn DESC LIMIT 1)
+UNION ALL
+SELECT 'wm', 'b',
+       (SELECT CAST(epoch_us(CAST(op_ts AS TIMESTAMP)) AS VARCHAR)
+                 || '/' || CAST(lsn AS VARCHAR)
+        FROM read_parquet('/tmp/spark_graft_oracle/ms_tail_b/*.parquet')
+        ORDER BY op_ts DESC, lsn DESC LIMIT 1)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1084,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "paged_source": q_paged_source,
         "cdc_merge_replay": q_cdc_merge_replay,
+        "multisource_vector": q_multisource_vector,
     }
 
 
@@ -1125,4 +1224,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _multimodal_sql(),
         "paged_source": _SQL_PAGED,
         "cdc_merge_replay": _SQL_CDC_REPLAY,
+        "multisource_vector": _SQL_MSV,
     }

@@ -209,6 +209,19 @@ def start_multisource_cdc_stream(
     Exactly-once is unchanged: at-least-once ``foreachBatch`` × the
     ``(job_id, epoch_id)`` ledger inside ``merge_apply``; a replayed
     epoch is a table no-op and leaves the recorded vector put.
+
+    Schema evolution contract (reference analog: per-job index mapping
+    swap, ElasticsearchService.java:74-91): a file stream's schema is
+    FIXED at query start, so a column added to one source's tail
+    mid-stream is invisible until restart — same as the single-source
+    path.  On restart, pass the evolved ``schema``: every leg reads
+    with it (parquet null-fills files that predate the column, so a
+    LAGGING source keeps working unchanged), the union is widened with
+    ``allowMissingColumns=True`` as defense-in-depth, and the first
+    merged batch evolves the table schema exactly like the batch path
+    (``tests/test_schema_evolution.py``); old buckets are not
+    rewritten.  Tested in ``tests/test_multisource_streaming.py``
+    (two-source evolution: one source evolves, the other lags).
     """
     if SnapshotTable.exists(table_path):
         table = SnapshotTable.load(spark, table_path)
@@ -227,7 +240,11 @@ def start_multisource_cdc_stream(
     ]
     src = legs[0]
     for leg in legs[1:]:
-        src = src.unionByName(leg)
+        # allowMissingColumns: legs normally share the passed schema,
+        # but if a caller wires per-source schemas (or a future reader
+        # infers them), a leg missing a newly added column must widen
+        # with nulls — the CDC union contract — not fail the query
+        src = src.unionByName(leg, allowMissingColumns=True)
 
     def apply_batch(batch_df, epoch_id: int) -> None:
         if on_batch is not None:

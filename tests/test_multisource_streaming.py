@@ -158,3 +158,66 @@ def test_legacy_scalar_watermark_becomes_vector_floor(spark, ws, dirs):
     # the events themselves still applied (the floor is bookkeeping,
     # not a filter — file offsets come from the checkpoint)
     assert tbl.read().count() > 0
+
+
+def test_two_source_evolution_one_source_lags(spark, ws, dirs):
+    """Schema evolution across multisource legs: source A's tail gains
+    the `tool` column; source B lags on the old shape.  Contract: the
+    column is invisible until restart (file-stream schema is fixed at
+    query start); on restart with the merged schema BOTH legs read —
+    B's old-shape files null-fill — the union widens, and the first
+    merged batch evolves the table like the single-source path
+    (tests/test_schema_evolution.py; reference per-job mapping swap,
+    ElasticsearchService.java:74-91)."""
+    from cwds_jobs_spark.schema import CHANGES_SCHEMA, CHANGES_SCHEMA_V0, TRANSCRIPTS_SCHEMA
+    from pyspark.sql import types as T
+
+    v0_transcripts = T.StructType(
+        [f for f in CHANGES_SCHEMA_V0.fields if f.name not in ("op", "op_ts", "lsn")]
+    )
+    tbl = SnapshotTable.create(
+        spark, ws["table"], v0_transcripts, num_buckets=8
+    )
+    # phase 1: both sources on the v0 shape
+    wa0 = synth_changes(spark, 200, n_convs=15, with_tool_col=False)
+    wb0 = synth_changes(spark, 200, n_convs=15, start_lsn=200, with_tool_col=False)
+    write_changes_window(wa0, dirs["a"], "w0")
+    write_changes_window(wb0, dirs["b"], "w0")
+    run_multisource_tail_once(
+        spark, schema=CHANGES_SCHEMA_V0, **_kw(ws, dirs)
+    )
+    tbl = SnapshotTable.load(spark, ws["table"])
+    assert "tool" not in tbl.read().columns
+
+    # phase 2: A evolves (tool column), B lags on the old shape
+    wa1 = synth_changes(spark, 200, n_convs=15, start_lsn=400, with_tool_col=True)
+    wb1 = synth_changes(spark, 200, n_convs=15, start_lsn=600, with_tool_col=False)
+    write_changes_window(wa1, dirs["a"], "w1")
+    write_changes_window(wb1, dirs["b"], "w1")
+    # restart from the SAME checkpoint with the merged schema
+    run_multisource_tail_once(spark, schema=CHANGES_SCHEMA, **_kw(ws, dirs))
+
+    tbl = SnapshotTable.load(spark, ws["table"])
+    out = tbl.read()
+    assert "tool" in out.columns
+    # final state equals the full replay (shared-column comparison:
+    # v0 winners carry no tool, evolved winners are checked on it)
+    all_events = (
+        list(wa0.collect()) + list(wb0.collect())
+        + list(wa1.collect()) + list(wb1.collect())
+    )
+    assert_matches(out, replay(all_events))
+    # the evolved source's tool-role winners surface their tool value
+    winners = replay(all_events)
+    tool_keys = {k for k, v in winners.items() if v.get("tool") is not None}
+    got = {(r.conv_id, r.turn_idx): r.tool for r in out.collect()}
+    assert tool_keys and all(got[k] is not None for k in tool_keys)
+    # rows whose winner came from a v0 window read back tool = NULL
+    v0_keys = {k for k, v in winners.items() if "tool" not in v}
+    assert v0_keys and all(got[k] is None for k in v0_keys)
+    # the per-source vector covers both sources at their true maxima
+    wm = tbl.committed_watermark("msjob")["sources"]
+    ha = max(list(wa1.collect()), key=lambda e: (e.op_ts, e.lsn))
+    hb = max(list(wb1.collect()), key=lambda e: (e.op_ts, e.lsn))
+    assert wm["a"] == {"ts": ha.op_ts.isoformat(), "lsn": ha.lsn}
+    assert wm["b"] == {"ts": hb.op_ts.isoformat(), "lsn": hb.lsn}

@@ -184,10 +184,15 @@ def plan_window_boundaries(
     that layout.
 
     Returns None when footer stats cannot bound windows near the cap —
-    a file lacks op_ts statistics, or the units THEMSELVES overlap so
-    much that a window exceeds 4× the cap (a genuinely shuffled bulk
-    write, where every row group also spans the range).  The caller
-    then falls back to the data-scan quantile probe.  Returns [] when
+    a file lacks op_ts statistics, the units THEMSELVES overlap so
+    much that a window exceeds 4× the cap on estimated rows (a
+    genuinely shuffled bulk write, where every row group also spans
+    the range), or a window's RAW un-prorated row bound exceeds 8× the
+    cap (a savepoint-straddling unit whose rows cluster near its
+    max_ts defeats the uniform-density pro-rating — the estimate can
+    be arbitrarily low while the window physically holds the whole
+    unit).  The caller then falls back to the data-scan quantile
+    probe.  Returns [] when
     no unit can hold events after ``after_ts``.  Boundaries are
     strictly increasing; the last is the tail's global max op_ts, so
     the final window drains everything planned.
@@ -203,8 +208,12 @@ def plan_window_boundaries(
     """
     if any(s.min_ts is None or s.max_ts is None for s in stats):
         return None
-    # flatten to planning units: (estimated pending rows, min_ts, max_ts)
-    units: list[tuple[float, dt.datetime, dt.datetime]] = []
+    # flatten to planning units:
+    # (estimated pending rows, RAW rows, min_ts, max_ts) — the estimate
+    # pro-rates a savepoint-straddling unit by time fraction; the raw
+    # count is its un-prorated upper bound (the window can never hold
+    # more rows than the units it covers physically contain)
+    units: list[tuple[float, int, dt.datetime, dt.datetime]] = []
     for s in stats:
         for rows, lo, hi in s.row_groups or [(s.rows, s.min_ts, s.max_ts)]:
             if after_ts is not None and hi <= after_ts:
@@ -215,26 +224,40 @@ def plan_window_boundaries(
                 if span > 0:
                     frac = (hi - after_ts).total_seconds() / span
                     est = max(1.0, rows * frac)
-            units.append((est, lo, hi))
+            units.append((est, rows, lo, hi))
     if not units:
         return []
     # sweep candidate boundaries (unit max_ts ascending); a boundary b
     # closes a window holding every not-yet-assigned row of units with
     # max_ts <= b
-    units.sort(key=lambda u: u[2])
+    units.sort(key=lambda u: u[3])
     boundaries: list[dt.datetime] = []
     acc = 0.0
+    acc_raw = 0
     worst = 0.0
-    for i, (rows, _lo, hi) in enumerate(units):
+    worst_raw = 0
+    for i, (rows, raw, _lo, hi) in enumerate(units):
         acc += rows
+        acc_raw += raw
         is_last = i == len(units) - 1
-        next_differs = is_last or units[i + 1][2] > hi
+        next_differs = is_last or units[i + 1][3] > hi
         if (acc >= cap and next_differs) or is_last:
             boundaries.append(hi)
             worst = max(worst, acc)
+            worst_raw = max(worst_raw, acc_raw)
             acc = 0.0
+            acc_raw = 0
     if worst > 4 * cap:
         return None  # overlapping units: boundaries collapsed
+    if worst_raw > 8 * cap:
+        # pro-rated estimates assume uniform row-time density; a
+        # straddling unit whose rows cluster near max_ts can be
+        # underestimated arbitrarily, letting a "~cap" window
+        # physically hold up to its raw-count bound.  When that bound
+        # blows far past the cap, the memory guarantee the cap exists
+        # for is gone — fall back to the data-scan quantile probe
+        # (a one-drain cost, only on resumes over huge straddlers).
+        return None
     # dedupe while preserving order (equal max_ts units collapse)
     seen: set = set()
     out = []

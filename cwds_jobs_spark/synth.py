@@ -144,3 +144,66 @@ def synth_transcripts(
     from cwds_jobs_spark.operators.dedup import lww_dedup
 
     return lww_dedup(ev).drop("op", "op_ts", "lsn")
+
+
+def synth_docs(
+    spark: SparkSession,
+    n_docs: int,
+    *,
+    seed: int = 11,
+    words_per_doc: int = 80,
+    vocab: int = 20_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic document corpus with planted near-dup pairs for
+    scale-step dedup benchmarks (doc ids ``(10k, 10k+1)`` share a base
+    word sequence with ~5% of words mutated → shingle Jaccard ≈ 0.8-0.9,
+    simhash Hamming small).  Same partition-stable xxhash construction
+    as :func:`synth_changes`: a pure function of doc_id, byte-identical
+    at any parallelism, no driver loop — generates 10^9 docs on a real
+    cluster as happily as 10^3 here."""
+    rng = spark.range(n_docs, numPartitions=num_partitions)
+    doc = F.col("id")
+    pair_member = (doc % 10) == 1
+    base = F.when(pair_member, doc - 1).otherwise(doc)
+    words = []
+    for k in range(words_per_doc):
+        w = F.format_string("w%05d", _h(base, 100 + k, seed, vocab))
+        if k % 20 == 7:  # mutate 4 of 80 words in the pair member
+            w = F.when(
+                pair_member,
+                F.format_string("m%05d", _h(doc, 200 + k, seed, vocab)),
+            ).otherwise(w)
+        words.append(w)
+    return rng.select(
+        doc.cast("long").alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"),
+    )
+
+
+def synth_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    *,
+    dim: int = 64,
+    seed: int = 13,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic embedding corpus with planted near-dup pairs
+    (vec ids ``(10k, 10k+1)`` differ by a small perturbation → cosine
+    ≈ 0.99; the rest is component-wise uniform noise).  Partition-
+    stable like :func:`synth_docs`."""
+    rng = spark.range(n_vecs, numPartitions=num_partitions)
+    vid = F.col("id")
+    pair_member = (vid % 10) == 1
+    base = F.when(pair_member, vid - 1).otherwise(vid)
+    comps = []
+    for j in range(dim):
+        c = _u(base, 300 + j, seed) - 0.5
+        c = c + F.when(
+            pair_member, (_u(vid, 400 + j, seed) - 0.5) * 0.05
+        ).otherwise(F.lit(0.0))
+        comps.append(c.cast("float"))
+    return rng.select(
+        vid.cast("long").alias("vec_id"), F.array(*comps).alias("embedding")
+    )

@@ -104,6 +104,26 @@ class TestPlan:
         bs = plan_window_boundaries(stats, _ts(899), cap=150)
         assert bs == [_ts(999)]
 
+    def test_straddler_raw_bound_guards_clustered_rows(self):
+        """Round-4 advisory: pro-rating assumes uniform row-time
+        density.  A straddling unit with a tiny pending TIME fraction
+        but a huge raw count could physically land all its rows in the
+        first window (rows clustered near max_ts) — the estimate can be
+        arbitrarily low while the window holds the whole unit.  When
+        the raw un-prorated bound blows far past the cap, bail to the
+        quantile probe instead of promising a bounded window."""
+        # savepoint at t=990 of [0,999]: estimate ~90 rows (passes the
+        # 4x estimate gate) but the window's raw bound is 10k rows,
+        # ~66x the cap
+        stats = [FileStat("f0", 10_000, _ts(0), _ts(999))]
+        assert plan_window_boundaries(stats, _ts(990), cap=150) is None
+
+    def test_straddler_raw_bound_moderate_keeps_fast_path(self):
+        # raw bound within 8x cap: the zero-scan fast path survives
+        # (the common resume shape — last shipped chunk half-applied)
+        stats = [FileStat("f0", 1000, _ts(0), _ts(999))]
+        assert plan_window_boundaries(stats, _ts(899), cap=150) == [_ts(999)]
+
     def test_fully_applied_boundary_file_excluded(self):
         """max_ts == after_ts means every row is <= the savepoint ts —
         nothing pending in this unit (equal-ts lsn stragglers are the

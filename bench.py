@@ -1273,13 +1273,22 @@ def dedup_scale_main() -> None:
     )
     detail = _load_detail(detail_path)
     prev = detail.get("dedup_scale_step")
-    # keep the better same-round record (lower max slope = cleaner
-    # window); prior-round records are demoted by main()'s carry
+    # keep the better same-round record: a LARGER corpus always beats a
+    # smaller one (a tiny smoke run is fixed-cost dominated and reads
+    # artificially sub-linear — it must never evict the real record);
+    # at equal scale, lower max slope = cleaner window.  Prior-round
+    # records are demoted by main()'s carry.
+    def _score(r):
+        sizes = [s.get("n_docs") or 0 for s in (r.get("scales") or [])]
+        if not sizes or not r.get("slopes"):
+            return None
+        return (max(sizes), -max(r["slopes"].values()))
+
     if (
         prev
         and prev.get("round") == record["round"]
-        and prev.get("slopes")
-        and max(prev["slopes"].values()) <= max(slopes.values())
+        and _score(prev) is not None
+        and _score(prev) >= _score(record)
     ):
         record = prev
     detail["dedup_scale_step"] = record

@@ -53,3 +53,46 @@ def test_start_lsn_continues_stream(spark):
 def test_transcripts_unique_keys(spark):
     t = synth_transcripts(spark, 500)
     assert t.count() == t.select("conv_id", "turn_idx").distinct().count()
+
+
+def test_synth_docs_partition_stable_and_planted_dups(spark):
+    """The dedup scale-step corpus generator (bench evidence chain):
+    byte-identical at any parallelism, with planted near-dup pairs
+    (ids 10k/10k+1 share 76 of 80 words -> shingle Jaccard ~0.9)."""
+    from cwds_jobs_spark.synth import synth_docs
+
+    a = synth_docs(spark, 400)
+    b = synth_docs(spark, 400, num_partitions=7)
+    assert sorted(r.text for r in a.collect()) == sorted(
+        r.text for r in b.collect()
+    )
+    rows = {r.doc_id: r.text for r in a.collect()}
+    # planted pair: high word overlap but not identical
+    w0, w1 = set(rows[0].split()), set(rows[1].split())
+    assert rows[0] != rows[1]
+    assert len(w0 & w1) / len(w0 | w1) > 0.7
+    # non-pair neighbors: near-zero overlap
+    w2 = set(rows[2].split())
+    assert len(w1 & w2) / len(w1 | w2) < 0.1
+
+
+def test_synth_embeddings_partition_stable_and_planted_dups(spark):
+    import math
+
+    from cwds_jobs_spark.synth import synth_embeddings
+
+    a = synth_embeddings(spark, 300)
+    b = synth_embeddings(spark, 300, num_partitions=5)
+    va = {r.vec_id: list(r.embedding) for r in a.collect()}
+    vb = {r.vec_id: list(r.embedding) for r in b.collect()}
+    assert va == vb
+
+    def cos(x, y):
+        dot = sum(p * q for p, q in zip(x, y))
+        nx = math.sqrt(sum(p * p for p in x))
+        ny = math.sqrt(sum(q * q for q in y))
+        return dot / (nx * ny)
+
+    # planted pair cosine ~0.99; unrelated neighbors ~0
+    assert cos(va[0], va[1]) > 0.95
+    assert abs(cos(va[1], va[2])) < 0.5

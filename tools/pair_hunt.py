@@ -70,17 +70,21 @@ def main() -> None:
     if isinstance(prev, dict):
         history = list(prev.get("history") or [])
         if prev.get("round") == prov["round"]:
+            # keep the round's better hunt as THE record (same
+            # best-accepted-wins rule as every carried record) ...
+            if (bench._hunt_score(prev) or -1) > (bench._hunt_score(record) or -1):
+                record, prev = prev, record
+            # ... and summarize the NON-kept run into history (with its
+            # accepted pair, so a corroborating same-round reading is
+            # never lost to the merge)
             history.append(
                 {
                     "run_utc": prev.get("run_utc"),
                     "best_efficiency": bench._hunt_score(prev),
                     "rounds": len(prev.get("rounds") or []),
+                    "best_accepted": prev.get("best_accepted"),
                 }
             )
-            # keep the round's better hunt as THE record (same
-            # best-accepted-wins rule as every carried record)
-            if (bench._hunt_score(prev) or -1) > (bench._hunt_score(record) or -1):
-                record, prev = prev, record
         else:
             # prior-round hunt: archive it, never re-report
             detail.setdefault("prior_rounds", []).append(

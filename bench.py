@@ -1018,10 +1018,13 @@ def _compact_replay(record: dict) -> dict:
     return {k: record[k] for k in keys if record.get(k) is not None}
 
 
-# the driver's stdout capture truncates long lines (BENCH_r02 and
-# BENCH_r04 both recorded `parsed: null`); everything dropped here
+# the driver records the LAST 2000 characters of stdout (measured from
+# BENCH_r01..r04: every `tail` field is exactly 2000 chars; lines under
+# it parse, lines over it record `parsed: null`).  Budget with margin
+# for the trailing newline and any stray control chars so the whole
+# line always fits inside the captured tail; everything dropped here
 # stays available in BENCH_DETAIL.json under `latest_run`.
-_PRINT_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_PRINT_BUDGET", 2000))
+_PRINT_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_PRINT_BUDGET", 1880))
 
 
 def _fit_budget(out: dict, limit: int = _PRINT_BUDGET) -> dict:
@@ -1038,8 +1041,10 @@ def _fit_budget(out: dict, limit: int = _PRINT_BUDGET) -> dict:
         ("scaling", "best_accepted_pair_of_round"),
         ("cdc_replay", "best_replay_of_round"),
     ]
-    dropped = []
+    dropped: list[str] = []
     for path in drop_order:
+        # measure WITH the marker in place — adding it after fitting
+        # could push the line back over the budget
         if len(json.dumps(out)) <= limit:
             break
         d = out
@@ -1048,8 +1053,7 @@ def _fit_budget(out: dict, limit: int = _PRINT_BUDGET) -> dict:
         if path[-1] in d:
             d.pop(path[-1])
             dropped.append("/".join(path))
-    if dropped:
-        out["dropped_for_budget_see_detail_file"] = dropped
+            out["dropped_for_budget_see_detail_file"] = dropped
     return out
 
 

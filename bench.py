@@ -1493,7 +1493,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--dedup-scale" in sys.argv[1:]:
+    # unknown flags must NOT silently start a ~40-minute measurement
+    # (a stray `--help` once burned a clean host window)
+    argv = sys.argv[1:]
+    if argv and argv != ["--dedup-scale"]:
+        usage = (
+            "usage: python bench.py               # full bench (one JSON line)\n"
+            "       python bench.py --dedup-scale # 1x/10x near-dup cost slopes\n"
+            "knobs via SPARK_GRAFT_BENCH_* env vars (see module docstring)"
+        )
+        print(usage, file=sys.stderr)
+        sys.exit(0 if argv in (["--help"], ["-h"]) else 2)
+    if argv == ["--dedup-scale"]:
         dedup_scale_main()
     else:
         main()

@@ -1135,7 +1135,12 @@ def _headline_queries_leg() -> dict[str, float]:
 
 DEDUP_SCALE_CONFIG = {
     "minhash": "t0.5/h32/b8r4/sh3/cap50",
-    "simhash": "mh6/c8/cap200",
+    # pigeonhole order 2 (chunk-pair banding): 8-bit single chunks have
+    # only 256 bucket values, so beyond ~256*cap docs every bucket
+    # overflows the cap and candidates silently dry up (measured: the
+    # 50k->500k step found 0 pairs order-1) — order 2 widens the key
+    # space to 2^16 and is the scale-correct config for mh6
+    "simhash": "mh6/c8/po2/cap200",
     # n_bits follows the corpus-size rule the headline bench documents
     # (n_bits ~ log2(rows / target_bucket), target ~80): LSH bucket
     # GEOMETRY is a function of corpus size — holding n_bits fixed at
@@ -1143,7 +1148,19 @@ DEDUP_SCALE_CONFIG = {
     # pair count quadratic, which is a misconfiguration, not the
     # design's cost curve.  The realized bits per scale are recorded
     # in each leg.
-    "embedding": "t0.4/bits=log2(n/80)/tables8/cap1000",
+    # t0.8: at a loose threshold (t0.4) the OUTPUT itself is Theta(n^2)
+    # — random 64-dim pairs above cosine 0.4 grow with C(n,2), so any
+    # exact-output miner is output-bound and the slope measures the
+    # workload, not the engine (measured 1.45 at the 50k->500k step,
+    # with found-pairs growing 17.5x for 10x vectors).  At t0.8 the
+    # output is planted-pair dominated (~n/10 pairs at cosine ~0.99 vs
+    # random pairs at <=~0.6) and the slope isolates miner cost.
+    # vbucket: in-bucket GEMM verification — the join-verify path drags
+    # one vector per candidate row through a sort-merge join (O(cand x
+    # dim) sort bytes, measured ~37 GB at 500k vectors); bucket verify
+    # ships vectors once per bucket membership (linear) and only
+    # surviving pairs shuffle.
+    "embedding": "t0.8/bits=log2(n/80)/tables8/cap1000/vbucket",
 }
 
 
@@ -1181,10 +1198,11 @@ def run_dedup_scale(n_docs: int, n_vecs: int, work_dir: str) -> dict:
         return {
             "minhash": lambda: minhash_near_dups(docs, threshold=0.5),
             "simhash": lambda: simhash_near_dups(
-                docs, max_hamming=6, max_bucket=200
+                docs, max_hamming=6, max_bucket=200, pigeonhole_order=2
             ),
             "embedding": lambda: embedding_near_dups(
-                emb, threshold=0.4, n_bits=bits, num_tables=8, max_bucket=1000
+                emb, threshold=0.8, n_bits=bits, num_tables=8,
+                max_bucket=1000, verify="bucket",
             ),
         }
 
@@ -1295,6 +1313,14 @@ def dedup_scale_main() -> None:
         and _score(prev) >= _score(record)
     ):
         record = prev
+    elif prev and prev.get("round") == record["round"]:
+        # keep the superseded same-round record (e.g. the smaller-corpus
+        # step): together they form a multi-point cost curve — the
+        # low-end anchor shows fixed-cost amortization, the high-end
+        # step the asymptotic regime
+        record["superseded"] = (prev.get("superseded") or []) + [
+            {k: v for k, v in prev.items() if k != "superseded"}
+        ]
     detail["dedup_scale_step"] = record
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)

@@ -338,12 +338,15 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash",
     )
 
 
-def _pick_chunks(max_hamming: int) -> int:
+def _pick_chunks(max_hamming: int, order: int = 1) -> int:
     """Smallest chunk count (divisor of 64) whose pigeonhole guarantee
-    covers ``max_hamming``: with c chunks, any pair within Hamming
-    ≤ c-1 shares at least one exact chunk."""
+    covers ``max_hamming`` at the given order: with c chunks and at
+    most h flipped bits, at most h chunks are touched, so any pair
+    within Hamming ≤ h shares at least ``c - h`` exact chunks — an
+    exact single chunk needs c ≥ h+1 (order 1), an exact chunk PAIR
+    needs c ≥ h+2 (order 2)."""
     for c in (2, 4, 8, 16, 32):
-        if c > max_hamming:
+        if c >= max_hamming + order:
             return c
     return 64
 
@@ -356,30 +359,61 @@ def simhash_pairs_from_sigs(
     max_hamming: int = 3,
     max_bucket: int = 100,
     n_chunks: int | None = None,
+    pigeonhole_order: int = 1,
 ) -> DataFrame:
     """Near-dup pairs from a (id, simhash) table: band the 64 bits
     into ``n_chunks`` equal chunks — pigeonhole guarantees any pair
     within Hamming ≤ n_chunks-1 shares an exact chunk — then verify
-    with ``bit_count(xor)``."""
+    with ``bit_count(xor)``.
+
+    ``pigeonhole_order=2`` banks on chunk PAIRS instead of single
+    chunks (valid whenever ``n_chunks - max_hamming >= 2``: at most
+    ``max_hamming`` chunks are touched, so two clean chunks — hence
+    one clean pair — always survive).  The bucket key space widens
+    from 2^width to 2^(2*width), which matters at scale: with 8-bit
+    single chunks there are only 256 bucket values per chunk position,
+    so beyond ~256*max_bucket rows EVERY bucket overflows the hot-
+    bucket cap and candidate generation silently dries up.  Order 2
+    trades C(k,2)/k more exploded rows (3.5x at k=8) for buckets
+    2^width times smaller — the 100-TB-safe default for max_hamming
+    too large to band order-1 with wide chunks."""
     if n_chunks is None:
-        n_chunks = _pick_chunks(max_hamming)
-    assert 64 % n_chunks == 0 and n_chunks > max_hamming, (
-        f"n_chunks={n_chunks} cannot guarantee recall at hamming {max_hamming}"
+        n_chunks = _pick_chunks(max_hamming, pigeonhole_order)
+    assert pigeonhole_order in (1, 2), pigeonhole_order
+    assert 64 % n_chunks == 0 and n_chunks >= max_hamming + pigeonhole_order, (
+        f"n_chunks={n_chunks} cannot guarantee recall at hamming "
+        f"{max_hamming} with pigeonhole order {pigeonhole_order}"
     )
     width = 64 // n_chunks
     mask = (1 << width) - 1
     sh = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("simhash"))
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
+
+    def _chunk_val(c: int):
+        return (
+            F.shiftrightunsigned(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit(mask))
+        )
+
+    if pigeonhole_order == 1:
+        keys = [
+            F.struct(F.lit(c).alias("chunk"), _chunk_val(c).alias("val"))
             for c in range(n_chunks)
         ]
-    )
+    else:
+        # composite key per chunk pair (c1<c2): table id c1*k+c2, value
+        # v1*2^width + v2 — both plain longs, same group-by shape below
+        keys = [
+            F.struct(
+                F.lit(c1 * n_chunks + c2).alias("chunk"),
+                (
+                    F.shiftleft(_chunk_val(c1), width)
+                    .bitwiseOR(_chunk_val(c2))
+                ).alias("val"),
+            )
+            for c1 in range(n_chunks)
+            for c2 in range(c1 + 1, n_chunks)
+        ]
+    chunks = F.array(*keys)
     ex = sh.select(
         "id", F.col("simhash"), F.explode(chunks).alias("cv")
     ).select("id", "simhash", "cv.chunk", "cv.val")
@@ -430,6 +464,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     max_bucket: int = 100,
     n_chunks: int | None = None,
+    pigeonhole_order: int = 1,
     seed: int = 7,
 ) -> DataFrame:
     """Raw-text convenience wrapper: native simhash, then banded
@@ -441,4 +476,5 @@ def simhash_near_dups(
         max_hamming=max_hamming,
         max_bucket=max_bucket,
         n_chunks=n_chunks,
+        pigeonhole_order=pigeonhole_order,
     )

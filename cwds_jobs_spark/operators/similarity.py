@@ -329,6 +329,7 @@ def embedding_near_dups(
     num_tables: int = 16,
     seed: int = 11,
     max_bucket: int = 10_000,
+    verify: str = "join",
 ) -> DataFrame:
     """Near-duplicate PAIRS by embedding cosine ≥ threshold.
 
@@ -344,7 +345,24 @@ def embedding_near_dups(
     exact on an un-capped corpus, which is what the DuckDB all-pairs
     oracle checks.  At corpus scale raise ``n_bits`` (finer buckets,
     more tables) to trade recall for candidate volume.
-    """
+
+    ``verify="bucket"`` is the corpus-scale strategy: after the first
+    id→vector join the join path drags one vector per CANDIDATE row
+    through a sort-merge join — O(candidates × dim) sort bytes (a
+    500k-vector step measured ~37 GB sorted, the dominant cost; the
+    compact candidate mining itself stays linear).  Bucket verify
+    instead ships each vector once per bucket membership — O(rows ×
+    tables × dim), linear — and computes all in-bucket cosines as one
+    per-group GEMM (``applyInPandas``), so only threshold-SURVIVING
+    pairs ever shuffle.  Same candidates, same exact cosine, same
+    hot-bucket cap (applied per group); pairs seen in several tables
+    collapse via a final output-sized groupBy."""
+    if verify == "bucket":
+        return _embedding_near_dups_bucket_verify(
+            corpus, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            n_bits=n_bits, num_tables=num_tables, seed=seed,
+            max_bucket=max_bucket,
+        )
     cand = embedding_candidate_pairs(
         corpus, id_col=id_col, vec_col=vec_col, n_bits=n_bits,
         num_tables=num_tables, seed=seed, max_bucket=max_bucket,
@@ -358,6 +376,67 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _embedding_near_dups_bucket_verify(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_bits: int,
+    num_tables: int,
+    seed: int,
+    max_bucket: int,
+) -> DataFrame:
+    """In-bucket GEMM verification (see ``embedding_near_dups``
+    docstring, ``verify="bucket"``).  One shuffle of the exploded
+    ``(table, bucket, id, vec)`` frame — rows × tables × dim bytes,
+    linear in the corpus — then per-bucket pairwise cosines in numpy;
+    only pairs ≥ threshold leave the group."""
+    dim = len(corpus.select(vec_col).first()[0])
+    tables = [_hyperplanes(dim, n_bits, seed + t) for t in range(num_tables)]
+    sig = lsh_signatures(
+        corpus, tables, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    exploded = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode("sigs").alias("table", "bucket"),
+    )
+    thr = float(threshold)
+    cap = int(max_bucket)
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        if len(pdf) < 2 or len(pdf) > cap:  # hot-bucket cap, per group
+            return empty
+        m = _as_matrix(pdf["vec"])
+        nv = np.linalg.norm(m, axis=1)
+        ok = nv > 0  # zero-norm vectors: cosine defined as 0 (< thr)
+        nv[~ok] = 1.0
+        u = m / nv[:, None]
+        c = u @ u.T
+        iu, ju = np.triu_indices(len(pdf), k=1)
+        cos = np.round(c[iu, ju], 6)
+        keep = (cos >= thr) & ok[iu] & ok[ju]
+        if not keep.any():
+            return empty
+        ids = pdf["id"].to_numpy()
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[keep]})
+
+    pairs = exploded.groupBy("table", "bucket").applyInPandas(
+        verify, schema="id_a long, id_b long, cosine double"
+    )
+    # a pair can surface from several tables; BLAS block order may
+    # differ per bucket shape, so collapse on max rather than distinct
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:

@@ -74,3 +74,43 @@ def test_ngram_jaccard_column(spark):
     b = df.filter("doc_id=4").select(F.col("shingles").alias("sb"))
     j = a.crossJoin(b).select(ngram_jaccard("sa", "sb").alias("j")).collect()[0].j
     assert 0.5 < j < 1.0
+
+
+def test_simhash_order2_matches_order1(spark):
+    # same corpus, generous caps: chunk-pair banding must return the
+    # exact same verified pair set as single-chunk banding (pigeonhole
+    # order only changes candidate generation, never the verify)
+    df = _corpus(spark)
+    p1 = {(r.id_a, r.id_b, r.hamming)
+          for r in simhash_near_dups(df, max_hamming=6).collect()}
+    p2 = {(r.id_a, r.id_b, r.hamming)
+          for r in simhash_near_dups(
+              df, max_hamming=6, pigeonhole_order=2).collect()}
+    assert p1 == p2 and p1
+
+
+def test_simhash_order2_survives_bucket_saturation(spark):
+    # 8-bit single chunks have only 256 values per position: force a
+    # corpus big enough that every order-1 bucket overflows a tiny cap
+    # (the silent candidate dry-up seen at the 500k-doc scale step),
+    # and assert the chunk-pair banding still finds the planted dup
+    from cwds_jobs_spark.synth import synth_docs
+
+    docs = synth_docs(spark, 4000, num_partitions=8)
+    cap = 2  # << 4000/256 so every single-chunk bucket overflows
+    order1 = simhash_near_dups(
+        docs, max_hamming=6, max_bucket=cap).count()
+    order2 = simhash_near_dups(
+        docs, max_hamming=6, max_bucket=cap, pigeonhole_order=2).count()
+    assert order1 == 0           # the saturation failure mode, pinned
+    assert order2 > 200          # planted (10k, 10k+1) pairs recovered
+
+
+def test_simhash_order2_rejects_insufficient_chunks(spark):
+    import pytest as _pytest
+
+    df = _corpus(spark)
+    with _pytest.raises(AssertionError):
+        simhash_near_dups(
+            df, max_hamming=7, n_chunks=8, pigeonhole_order=2
+        ).collect()

@@ -143,3 +143,40 @@ def test_embedding_near_dups_exact_vs_numpy(spark, emb):
     assert set(got) == set(truth)  # LSH params give full recall here
     for p in got:
         assert abs(got[p] - truth[p]) < 1e-5
+
+
+def test_embedding_near_dups_bucket_verify_matches_join(spark, emb):
+    from cwds_jobs_spark.operators.similarity import embedding_near_dups
+
+    kw = dict(threshold=0.4, num_tables=24)
+    join_pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups(emb, **kw).collect()
+    }
+    bucket_pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups(emb, verify="bucket", **kw).collect()
+    }
+    assert set(bucket_pairs) == set(join_pairs) and join_pairs
+    for p in join_pairs:  # same exact cosine up to summation order
+        assert abs(bucket_pairs[p] - join_pairs[p]) < 1e-5
+
+
+def test_embedding_near_dups_bucket_verify_caps_hot_buckets(spark):
+    from cwds_jobs_spark.synth import synth_embeddings
+    from cwds_jobs_spark.operators.similarity import embedding_near_dups
+
+    vecs = synth_embeddings(spark, 2000, num_partitions=8)
+    kw = dict(threshold=0.8, n_bits=4, num_tables=8)
+    a = {(r.id_a, r.id_b)
+         for r in embedding_near_dups(vecs, max_bucket=130, **kw).collect()}
+    b = {(r.id_a, r.id_b)
+         for r in embedding_near_dups(
+             vecs, max_bucket=130, verify="bucket", **kw).collect()}
+    uncapped = {(r.id_a, r.id_b)
+                for r in embedding_near_dups(
+                    vecs, max_bucket=100_000, **kw).collect()}
+    # the cap drops the SAME hot buckets in both strategies, and it is
+    # genuinely active at this config (drops recall vs uncapped)
+    assert a == b and len(a) > 100
+    assert len(a) < len(uncapped)

@@ -375,8 +375,17 @@ def simhash_pairs_from_sigs(
     so beyond ~256*max_bucket rows EVERY bucket overflows the hot-
     bucket cap and candidate generation silently dries up.  Order 2
     trades C(k,2)/k more exploded rows (3.5x at k=8) for buckets
-    2^width times smaller — the 100-TB-safe default for max_hamming
-    too large to band order-1 with wide chunks."""
+    2^width times smaller.
+
+    Scale boundary (measured, BASELINE.md): the 64-bit fingerprint
+    bounds the order-2 key space at 2^16, so in-bucket candidates
+    grow as n²/2^16 once the corpus outgrows ~2^16 rows per shard —
+    sub-linear at 500k docs (slope 0.89 for a 50k→500k step), super-
+    linear by 5M (1.41).  Banded simhash has no corpus-size knob
+    inside a fixed-width fingerprint (unlike minhash bands or
+    embedding-LSH ``n_bits``); past ~10⁶ rows per shard use a wider
+    fingerprint, Manku-style sorted-fingerprint probing, or prefer
+    the minhash / embedding miners."""
     if n_chunks is None:
         n_chunks = _pick_chunks(max_hamming, pigeonhole_order)
     assert pigeonhole_order in (1, 2), pigeonhole_order

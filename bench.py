@@ -1479,7 +1479,13 @@ def main() -> None:
              "git_head_at_run_start": pair_hunt.get("git_head_at_run_start")}
         )
     if dedup_scale is not None and dedup_scale.get("slopes") is not None:
-        out["dedup_scale_slopes"] = dedup_scale["slopes"]
+        # name the step the slopes came from — a 1.4 at the 5M decade
+        # (simhash's documented fingerprint-width boundary) reads very
+        # differently from a 1.4 at 50k
+        out["dedup_scale_slopes"] = {
+            "docs": [s.get("n_docs") for s in dedup_scale.get("scales", [])],
+            **dedup_scale["slopes"],
+        }
     if serial is not None:
         out["serial_per_window_sec"] = serial["serial_per_window_sec"]
         out["serial_fraction_at_1e9_window"] = serial[
